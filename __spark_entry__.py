@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry``: flagship query (the traffic histogram pipeline spine) on
+sf0.001.  ``queries``/``oracle_sql``: one entry per implemented operator
+from SURVEY.md §2 plus the training-data family — see
+traffic_engine_spark/queries.py for the registry (each Spark plan sits
+next to its DuckDB oracle).
 """
 
 from __future__ import annotations
@@ -13,26 +13,24 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from traffic_engine_spark import queries as Q
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: decode → pair → cell join → refine → kernel → histogram
+    summary on the synthetic image table + z18 histogram of sf0.001 events.
+
+    Returns the per-segment hour-of-week speed summary (SURVEY §7.2)."""
+    from traffic_engine_spark.plans import stats as S
+
+    samples = Q.traffic_speed_samples(spark, "/root/testdata/sf0.001")
+    hist = S.histograms(samples)
+    return S.summary_stats(hist, by_hour=True)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return Q.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return Q.oracle_sql()

@@ -1,0 +1,104 @@
+"""Approximate-nearest-neighbour search over an embedding column.
+
+Baseline: brute-force cosine top-k as a broadcast join + window rank —
+exact, and the yardstick every approximate variant is measured against.
+Scale path: hyperplane-LSH bucketing (candidates share a bucket) and an
+IVF-style coarse quantiser (assign to nearest of k seed centroids, search
+within cell ± neighbouring cells).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine, hyperplane_bucket
+
+
+def brute_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the (small) query set against the
+    corpus — the corpus is never shuffled, ranking is a per-query window.
+    Returns (query_id, rank, neighbor_id, cosine)."""
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        c.join(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def lsh_buckets(
+    emb: DataFrame, n_planes: int = 8, id_col: str = "vec_id",
+    vec_col: str = "embedding", dims: int = 64,
+) -> DataFrame:
+    """(vec_id, bucket): random-hyperplane signature — the ANN partition
+    key.  At scale this is the repartition column; same-bucket search is
+    a co-partitioned local scan."""
+    return emb.select(
+        F.col(id_col).alias("vec_id"),
+        hyperplane_bucket(F.col(vec_col), n_planes, dims).alias("bucket"),
+    )
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+) -> DataFrame:
+    """Approximate top-k: candidates must share the hyperplane bucket, then
+    exact cosine rank within bucket.  Recall trades off with n_planes."""
+    qb = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        hyperplane_bucket(F.col(vec_col), n_planes, dims).alias("bucket"),
+    )
+    cb = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+        hyperplane_bucket(F.col(vec_col), n_planes, dims).alias("bucket"),
+    )
+    scored = (
+        cb.join(F.broadcast(qb), "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def ivf_assign(
+    emb: DataFrame, centroids: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """IVF coarse quantiser: assign each vector to its nearest centroid
+    (broadcast centroids, argmax cosine).  (vec_id, centroid_id)."""
+    c = centroids.select(F.col("centroid_id"), F.col("cv"))
+    scored = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")).join(
+        F.broadcast(c)
+    ).withColumn("cosine", cosine(F.col("v"), F.col("cv")))
+    w = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc(), F.col("centroid_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "centroid_id")
+    )

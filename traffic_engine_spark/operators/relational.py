@@ -1,0 +1,103 @@
+"""General relational operators the reference implies but Spark must
+express declaratively: as-of join, range join, top-k per group,
+sessionization (gaps-and-islands).  All window/join compositions — no
+custom physical operators, Catalyst plans them with the standard
+exchange + sort machinery.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """For each left row, the latest right row with the same key and
+    right_ts ≤ left_ts — the union-tag-window formulation: one shuffle on
+    the key, no range cross product (the classic scalable as-of plan;
+    generalises the reference's pending-crossing pairing J3 to arbitrary
+    streams)."""
+    right_cols = right_cols or [c for c in right.columns if c not in (on, right_ts)]
+    l_tag = left.withColumn("_side", F.lit(1)).withColumn("_ats", F.col(left_ts))
+    r_tag = (
+        right.select(on, F.col(right_ts).alias("_ats"), *right_cols)
+        .withColumn("_side", F.lit(0))
+    )
+    merged = l_tag.unionByName(r_tag, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(on)
+        .orderBy("_ats", "_side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = merged.select(
+        "*",
+        *[
+            F.last(F.when(F.col("_side") == 0, F.col(c)), ignorenulls=True)
+            .over(w)
+            .alias(c + suffix)
+            for c in right_cols
+        ],
+    )
+    return carried.filter(F.col("_side") == 1).drop("_side", "_ats", *right_cols)
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_lo: str,
+    left_hi: str,
+    right_point: str,
+) -> DataFrame:
+    """Equi-key + interval containment.  Catalyst executes as the equi-join
+    with the range as a post-filter; at scale add a bucketized band key
+    (floor(point/width)) to both sides to bound the per-key fan-out."""
+    return left.join(right, on).filter(
+        F.col(right_point).between(F.col(left_lo), F.col(left_hi))
+    )
+
+
+def topk_per_group(
+    df: DataFrame, group_cols: list[str], order_col: str, k: int,
+    descending: bool = True, tiebreak: str | None = None,
+) -> DataFrame:
+    order = [F.col(order_col).desc() if descending else F.col(order_col)]
+    if tiebreak:
+        order.append(F.col(tiebreak))
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    return (
+        df.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def sessionize(
+    events: DataFrame, key: str = "user_id", ts_ms: str = "ts_ms", gap_ms: int = 1_800_000
+) -> DataFrame:
+    """Gaps-and-islands sessionization: new session when the gap to the
+    previous event exceeds gap_ms; session_id = running sum of boundaries.
+    One shuffle on the key; the streaming twin is a session window with
+    watermark (streaming/match_stream.py)."""
+    w = Window.partitionBy(key).orderBy(ts_ms)
+    flagged = events.withColumn(
+        "_new",
+        F.when(
+            F.col(ts_ms) - F.lag(ts_ms).over(w) > gap_ms, F.lit(1)
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "_first", F.when(F.lag(ts_ms).over(w).isNull(), F.lit(1)).otherwise(F.lit(0))
+    )
+    return flagged.withColumn(
+        "session_id",
+        F.sum(F.col("_new") + F.col("_first")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    ).drop("_new", "_first")

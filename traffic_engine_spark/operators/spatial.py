@@ -1,0 +1,157 @@
+"""Spatial operators beyond the match pipeline: broadcast kNN join and
+point-in-polygon assignment (the north star's candidate/refine shapes).
+
+kNN join = the generalisation of the reference's tile-grid candidate
+generation (J1): candidates by cell ring, exact distance refine, window
+rank.  PIP = the reference's timezone lookup (J7, TimeConverter.java:141-170)
+recast: broadcast polygons, vectorised winding-number test.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.cells import cell_of_col, grid_disk_offsets, tile_x_col, tile_y_col
+
+
+def equirect_dist2(lat_a, lon_a, lat_b, lon_b):
+    """Squared equirectangular degree distance — monotone in true distance
+    at city scale; cheap enough to stay in codegen for ranking."""
+    dlat = lat_a - lat_b
+    dlon = lon_a - lon_b
+    return dlat * dlat + dlon * dlon
+
+
+def knn_join_broadcast(
+    points: DataFrame,
+    stations: DataFrame,
+    k: int = 3,
+    point_id: str = "point_id",
+    station_id: str = "station_id",
+) -> DataFrame:
+    """Exact kNN against a small broadcast station set: no shuffle of the
+    big side, per-point window rank.  Returns (point_id, rank, station_id,
+    dist2).  For large station sets switch to `knn_join_cells`."""
+    s = stations.select(
+        F.col(station_id), F.col("lat").alias("s_lat"), F.col("lon").alias("s_lon")
+    )
+    scored = points.join(F.broadcast(s)).withColumn(
+        "dist2",
+        equirect_dist2(F.col("lat"), F.col("lon"), F.col("s_lat"), F.col("s_lon")),
+    )
+    w = Window.partitionBy(point_id).orderBy(F.col("dist2"), F.col(station_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(point_id, "rank", station_id, F.round("dist2", 12).alias("dist2"))
+    )
+
+
+def knn_join_cells(
+    points: DataFrame,
+    stations: DataFrame,
+    zoom: int = 14,
+    ring: int = 1,
+    k: int = 3,
+    point_id: str = "point_id",
+    station_id: str = "station_id",
+) -> DataFrame:
+    """Scale path: candidates via cell-ring equi-join (grid_disk explode on
+    the *station* side — the small side carries the ring replication), then
+    exact refine + rank.  Correct when the ring radius covers the k-th
+    neighbour distance; widen `ring` or coarsen `zoom` otherwise."""
+    p = points.withColumn("cx", tile_x_col(F.col("lon"), zoom)).withColumn(
+        "cy", tile_y_col(F.col("lat"), zoom)
+    )
+    offsets = F.array(
+        *[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy")) for dx, dy in grid_disk_offsets(ring)]
+    )
+    s = (
+        stations.withColumn("scx", tile_x_col(F.col("lon"), zoom))
+        .withColumn("scy", tile_y_col(F.col("lat"), zoom))
+        .withColumn("o", F.explode(offsets))
+        .select(
+            F.col(station_id),
+            F.col("lat").alias("s_lat"),
+            F.col("lon").alias("s_lon"),
+            (F.col("scx") + F.col("o.dx")).alias("cx"),
+            (F.col("scy") + F.col("o.dy")).alias("cy"),
+        )
+    )
+    scored = p.join(s, ["cx", "cy"]).withColumn(
+        "dist2",
+        equirect_dist2(F.col("lat"), F.col("lon"), F.col("s_lat"), F.col("s_lon")),
+    )
+    w = Window.partitionBy(point_id).orderBy(F.col("dist2"), F.col(station_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(point_id, "rank", station_id, F.round("dist2", 12).alias("dist2"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# point-in-polygon
+# ---------------------------------------------------------------------------
+
+
+def pip_assign_convex(points: DataFrame, polygons: list[dict]) -> DataFrame:
+    """PIP against a literal list of *convex* polygons via half-plane tests
+    — pure column expressions (codegen).  polygons: [{"poly_id": int,
+    "coords": [(lon, lat), ...] CCW}].  First matching polygon wins
+    (ordered by poly_id); unmatched rows get poly_id = -1."""
+    assign = F.lit(-1)
+    for poly in sorted(polygons, key=lambda p: p["poly_id"], reverse=True):
+        coords = poly["coords"]
+        inside = F.lit(True)
+        for (x1, y1), (x2, y2) in zip(coords, coords[1:] + coords[:1]):
+            cross = (F.lit(x2 - x1) * (F.col("lat") - F.lit(y1))
+                     - F.lit(y2 - y1) * (F.col("lon") - F.lit(x1)))
+            inside = inside & (cross >= 0)
+        assign = F.when(inside, F.lit(poly["poly_id"])).otherwise(assign)
+    return points.withColumn("poly_id", assign)
+
+
+def pip_assign_winding(
+    points: DataFrame, polygons_pd: pd.DataFrame, lat_col: str = "lat", lon_col: str = "lon"
+) -> DataFrame:
+    """General PIP (arbitrary simple polygons) — broadcast polygon table +
+    vectorised even-odd ray casting in an Arrow-batched pandas UDF.  This
+    is the J7 tz-lookup shape (TimeConverter.java:141-170): broadcast the
+    polygon dim, test per batch, first match wins.
+
+    polygons_pd columns: poly_id, lons (list), lats (list)."""
+    polys = [
+        (int(r.poly_id), np.asarray(r.lons, dtype=np.float64), np.asarray(r.lats, dtype=np.float64))
+        for r in polygons_pd.itertuples()
+    ]
+
+    out_schema = T.StructType(
+        points.schema.fields + [T.StructField("poly_id", T.IntegerType(), False)]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            px = pdf[lon_col].to_numpy(dtype=np.float64)
+            py = pdf[lat_col].to_numpy(dtype=np.float64)
+            assign = np.full(len(pdf), -1, dtype=np.int32)
+            for poly_id, lons, lats in sorted(polys, key=lambda p: p[0], reverse=True):
+                inside = np.zeros(len(pdf), dtype=bool)
+                j = len(lons) - 1
+                for i in range(len(lons)):  # even-odd rule, vectorised over points
+                    cond = (lats[i] > py) != (lats[j] > py)
+                    denom = lats[j] - lats[i]
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        xint = (lons[j] - lons[i]) * (py - lats[i]) / denom + lons[i]
+                    inside ^= cond & (px < xint)
+                    j = i
+                assign = np.where(inside, poly_id, assign)
+            pdf = pdf.copy()
+            pdf["poly_id"] = assign
+            yield pdf
+
+    return points.mapInPandas(run, schema=out_schema)

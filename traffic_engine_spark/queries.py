@@ -1,0 +1,1056 @@
+"""The driver-facing query registry: every implemented operator from
+SURVEY.md §2 (+ the training-data family) as a (spark, sf_dir) → DataFrame
+callable with a matching DuckDB-runnable ANSI-SQL oracle.
+
+Conventions that make the oracle comparison exact:
+  * the shared hash is ('0x'||substr(md5(x),1,15))::BIGINT ≡
+    conv(substring(md5(x),1,15),16,10) — bit-identical in both engines;
+  * float outputs are round(x, 4..6) in BOTH plans so summation-order FP
+    noise cannot flip the value hash;
+  * timestamps go through epoch_ms(ts) ≡ unix_millis(cast(ts as timestamp))
+    (session TZ is UTC);
+  * every computed column is aliased identically on both sides.
+
+GPS-shaped queries derive deterministic points from `events`
+(lat/lon/ts from event_id arithmetic) so the spatial operators have a
+DuckDB-checkable oracle on the driver's shared tables; the *real* image
+pipeline runs on the synthetic Iceberg-shaped images table and is
+oracle-checked by pytest (tests/test_parity.py) and exposed here as
+rows-only entries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .config import Z_AREA, Z_ITEM
+from .functions.binning import hour_of_week_col, speed_bin_col, week_col
+from .functions.cells import morton_col, tile2lat_col, tile2lon_col, tile_x_col, tile_y_col
+from .functions.text import (
+    LANG_PROFILES,
+    TOKEN_RE,
+    avg_token_len,
+    fingerprint,
+    hash64,
+    n_tokens_bpe,
+    n_tokens_ws,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    ws_tokens,
+)
+from .operators import ann, dedup, relational, spatial
+
+# ---------------------------------------------------------------------------
+# loaders + shared derivations
+# ---------------------------------------------------------------------------
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic GPS-shaped points from events (shared with SQL CTE)."""
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+        (F.lit(37.5) + (F.col("event_id") % 1000).cast("double") * F.lit(0.0005)).alias("lat"),
+        (F.lit(-122.5) + (F.expr("event_id DIV 7") % 1000).cast("double") * F.lit(0.0005)).alias("lon"),
+        "value",
+        "event_type",
+    )
+
+
+PTS_CTE = """
+pts AS (
+  SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+         37.5 + (event_id % 1000) * 0.0005 AS lat,
+         -122.5 + ((event_id // 7) % 1000) * 0.0005 AS lon,
+         value, event_type
+  FROM events
+)
+"""
+
+# slippy tile SQL fragments (exact parity with functions/cells.py)
+def _sql_tile_x(lon: str, z: int) -> str:
+    return f"CAST(floor(({lon} + 180.0) / 360.0 * {1 << z}) AS BIGINT)"
+
+
+def _sql_tile_y(lat: str, z: int) -> str:
+    return (
+        f"CAST(floor((1.0 - ln(tan(radians({lat})) + 1.0/cos(radians({lat}))) / pi()) "
+        f"/ 2.0 * {1 << z}) AS BIGINT)"
+    )
+
+
+def _sql_spread(expr: str) -> str:
+    """Morton bit-spread (matches functions/cells._spread_bits_col)."""
+    out = expr
+    for shift, mask in (
+        (16, 0x0000FFFF0000FFFF),
+        (8, 0x00FF00FF00FF00FF),
+        (4, 0x0F0F0F0F0F0F0F0F),
+        (2, 0x3333333333333333),
+        (1, 0x5555555555555555),
+    ):
+        out = f"(({out} | ({out} << {shift})) & {mask})"
+    return out
+
+
+def _sql_morton(x: str, y: str) -> str:
+    return f"({_sql_spread(x)} | ({_sql_spread(y)} << 1))"
+
+
+_SQL_HASH = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
+
+
+def _sql_hash(x: str) -> str:
+    return _SQL_HASH.format(x=x)
+
+
+# binning SQL (exact parity with functions/binning.py; inputs already ms)
+def _sql_week(ts_ms: str) -> str:
+    return f"CAST(floor(({ts_ms} - 345600000) / 604800000.0) AS INT)"
+
+
+def _sql_hour(ts_ms: str) -> str:
+    return (
+        f"CAST(((({ts_ms} // 86400000) + 3) % 7) * 24 + ({ts_ms} // 3600000) % 24 AS INT)"
+    )
+
+
+def _sql_speed_bin(speed: str) -> str:
+    return f"CAST(least(floor({speed} * 3.6 + 0.5), 119) AS INT)"
+
+
+# ---------------------------------------------------------------------------
+# registry: name -> (callable, oracle_sql | None)
+# ---------------------------------------------------------------------------
+
+REGISTRY: dict[str, tuple] = {}
+
+
+def q(name: str, sql: str | None):
+    def deco(fn):
+        REGISTRY[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+# =========================== spatial / traffic =============================
+
+
+@q(
+    "tile_assign",
+    f"""
+WITH {PTS_CTE}
+SELECT event_id,
+       {_sql_tile_x('lon', 11)} AS tile_x11, {_sql_tile_y('lat', 11)} AS tile_y11,
+       {_sql_tile_x('lon', 18)} AS tile_x18, {_sql_tile_y('lat', 18)} AS tile_y18,
+       ({18 << 58} | ({_sql_tile_x('lon', 18)} << 29) | {_sql_tile_y('lat', 18)}) AS cell,
+       {_sql_morton(_sql_tile_x('lon', 18), _sql_tile_y('lat', 18))} AS morton
+FROM pts
+""",
+)
+def tile_assign(spark, sf_dir):
+    """C1/C4 + packed cell + Morton key (SpatialDataStore.java:199-208)."""
+    p = _points(spark, sf_dir)
+    x18, y18 = tile_x_col(F.col("lon"), Z_ITEM), tile_y_col(F.col("lat"), Z_ITEM)
+    return p.select(
+        "event_id",
+        tile_x_col(F.col("lon"), Z_AREA).alias("tile_x11"),
+        tile_y_col(F.col("lat"), Z_AREA).alias("tile_y11"),
+        x18.alias("tile_x18"),
+        y18.alias("tile_y18"),
+        (F.lit(18 << 58).cast("long") + F.shiftleft(x18, 29) + y18).alias("cell"),
+        morton_col(x18, y18).alias("morton"),
+    )
+
+
+@q(
+    "tile_inverse",
+    f"""
+WITH {PTS_CTE},
+tiles AS (SELECT DISTINCT {_sql_tile_x('lon', 14)} AS tx, {_sql_tile_y('lat', 14)} AS ty FROM pts)
+SELECT tx, ty,
+       round(tx / pow(2.0, 14) * 360.0 - 180.0, 9) AS west,
+       round(degrees(atan((exp(pi() - (2.0*pi()*ty)/pow(2.0,14)) - exp(-(pi() - (2.0*pi()*ty)/pow(2.0,14))))/2.0)), 9) AS north
+FROM tiles
+""",
+)
+def tile_inverse(spark, sf_dir):
+    """C2 — tile2lon/tile2lat (SpatialDataStore.java:254-261)."""
+    p = _points(spark, sf_dir)
+    t = p.select(
+        tile_x_col(F.col("lon"), 14).alias("tx"), tile_y_col(F.col("lat"), 14).alias("ty")
+    ).distinct()
+    return t.select(
+        "tx",
+        "ty",
+        F.round(tile2lon_col(F.col("tx"), 14), 9).alias("west"),
+        F.round(tile2lat_col(F.col("ty"), 14), 9).alias("north"),
+    )
+
+
+@q(
+    "cell_join",
+    f"""
+WITH {PTS_CTE},
+a AS (SELECT event_id, {_sql_tile_x('lon', 16)} AS cx, {_sql_tile_y('lat', 16)} AS cy
+      FROM pts WHERE event_id % 2 = 0),
+b AS (SELECT event_id, {_sql_tile_x('lon', 16)} AS cx, {_sql_tile_y('lat', 16)} AS cy
+      FROM pts WHERE event_id % 2 = 1),
+ring AS (SELECT a.event_id AS ea, b.event_id AS eb
+         FROM a JOIN b ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+                      AND b.cy BETWEEN a.cy - 1 AND a.cy + 1)
+SELECT ea AS cell_probe, count(*) AS n_candidates
+FROM ring GROUP BY ea
+""",
+)
+def cell_join(spark, sf_dir):
+    """J1 — cell equi-join with grid_disk(1) ring expansion; candidate
+    counts per probe point.  The ring explode sits on the probe side, the
+    build side is a plain cell equi-key (broadcastable)."""
+    p = _points(spark, sf_dir)
+    a = p.filter(F.col("event_id") % 2 == 0).select(
+        F.col("event_id").alias("ea"),
+        tile_x_col(F.col("lon"), 16).alias("cx"),
+        tile_y_col(F.col("lat"), 16).alias("cy"),
+    )
+    b = p.filter(F.col("event_id") % 2 == 1).select(
+        F.col("event_id").alias("eb"),
+        tile_x_col(F.col("lon"), 16).alias("cx"),
+        tile_y_col(F.col("lat"), 16).alias("cy"),
+    )
+    offsets = F.array(
+        *[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy")) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    )
+    a_ring = a.withColumn("o", F.explode(offsets)).select(
+        "ea", (F.col("cx") + F.col("o.dx")).alias("cx"), (F.col("cy") + F.col("o.dy")).alias("cy")
+    )
+    joined = a_ring.join(b, ["cx", "cy"])
+    return joined.groupBy(F.col("ea").alias("cell_probe")).agg(
+        F.count(F.lit(1)).alias("n_candidates")
+    )
+
+
+@q(
+    "knn_join",
+    f"""
+WITH {PTS_CTE},
+p AS (SELECT event_id, lat, lon FROM pts WHERE event_id % 20 = 0),
+s AS (SELECT event_id AS station_id, lat AS s_lat, lon AS s_lon FROM pts WHERE event_id % 100 = 7),
+scored AS (
+  SELECT p.event_id, s.station_id,
+         (p.lat - s.s_lat)*(p.lat - s.s_lat) + (p.lon - s.s_lon)*(p.lon - s.s_lon) AS d2
+  FROM p CROSS JOIN s),
+ranked AS (SELECT event_id, station_id, d2,
+                  row_number() OVER (PARTITION BY event_id ORDER BY d2, station_id) AS rank
+           FROM scored)
+SELECT event_id, rank, station_id, round(d2, 12) AS dist2
+FROM ranked WHERE rank <= 3
+""",
+)
+def knn_join(spark, sf_dir):
+    """Broadcast kNN join (the north star's candidate operator): every 20th
+    point to its 3 nearest 'stations' (every 100th ≡ 7)."""
+    p = _points(spark, sf_dir)
+    probes = p.filter(F.col("event_id") % 20 == 0).select("event_id", "lat", "lon")
+    stations = p.filter(F.col("event_id") % 100 == 7).select(
+        F.col("event_id").alias("station_id"), "lat", "lon"
+    )
+    return spatial.knn_join_broadcast(
+        probes, stations, k=3, point_id="event_id", station_id="station_id"
+    )
+
+
+_POLYGONS = [
+    {"poly_id": 0, "coords": [(-122.5, 37.5), (-122.3, 37.5), (-122.3, 37.7), (-122.5, 37.7)]},
+    {"poly_id": 1, "coords": [(-122.3, 37.5), (-122.0, 37.5), (-122.0, 37.9), (-122.3, 37.9)]},
+    {"poly_id": 2, "coords": [(-122.5, 37.7), (-122.3, 37.7), (-122.4, 37.99)]},
+]
+
+
+def _sql_pip() -> str:
+    cases = []
+    for poly in sorted(_POLYGONS, key=lambda p: p["poly_id"]):
+        conds = []
+        cs = poly["coords"]
+        for (x1, y1), (x2, y2) in zip(cs, cs[1:] + cs[:1]):
+            conds.append(f"(({x2} - {x1}) * (lat - {y1}) - ({y2} - {y1}) * (lon - {x1})) >= 0")
+        cases.append(f"WHEN {' AND '.join(conds)} THEN {poly['poly_id']}")
+    return "CASE " + " ".join(cases) + " ELSE -1 END"
+
+
+@q(
+    "pip_assign",
+    f"""
+WITH {PTS_CTE}
+SELECT event_id, {_sql_pip()} AS poly_id FROM pts
+""",
+)
+def pip_assign(spark, sf_dir):
+    """J7 — point-in-polygon against broadcast polygons (convex half-plane
+    form here; the general winding/even-odd UDF variant is
+    operators/spatial.pip_assign_winding, exercised in tests)."""
+    p = _points(spark, sf_dir)
+    return spatial.pip_assign_convex(p, _POLYGONS).select("event_id", "poly_id")
+
+
+@q(
+    "asof_join",
+    f"""
+WITH {PTS_CTE},
+tagged AS (
+  SELECT user_id, ts_ms, event_id, 1 AS side FROM pts WHERE event_type = 'click'
+  UNION ALL
+  SELECT user_id, ts_ms, event_id, 0 AS side FROM pts WHERE event_type = 'purchase'),
+carried AS (
+  SELECT user_id, ts_ms, event_id, side,
+         max(CASE WHEN side = 0 THEN event_id END)
+           OVER (PARTITION BY user_id ORDER BY ts_ms, side, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) IS NOT NULL AS has_prev,
+         last_value(CASE WHEN side = 0 THEN event_id END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts_ms, side, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_purchase
+  FROM tagged)
+SELECT event_id, prev_purchase
+FROM carried WHERE side = 1
+""",
+)
+def asof_join(spark, sf_dir):
+    """J3-shape as-of join: for each click, the latest purchase by the same
+    user at or before it (union-tag-window plan, one shuffle)."""
+    p = _points(spark, sf_dir)
+    clicks = p.filter(F.col("event_type") == "click").select("user_id", "ts_ms", "event_id")
+    buys = p.filter(F.col("event_type") == "purchase").select("user_id", "ts_ms", "event_id")
+    tagged = clicks.withColumn("side", F.lit(1)).unionByName(
+        buys.withColumn("side", F.lit(0))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ms", "side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = tagged.withColumn(
+        "prev_purchase",
+        F.last(F.when(F.col("side") == 0, F.col("event_id")), ignorenulls=True).over(w),
+    )
+    return carried.filter(F.col("side") == 1).select("event_id", "prev_purchase")
+
+
+@q(
+    "sessionize",
+    f"""
+WITH {PTS_CTE},
+flagged AS (
+  SELECT user_id, ts_ms,
+         CASE WHEN lag(ts_ms) OVER w IS NULL THEN 1
+              WHEN ts_ms - lag(ts_ms) OVER w > 1800000 THEN 1 ELSE 0 END AS newflag
+  FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms)),
+sessions AS (
+  SELECT user_id, ts_ms,
+         sum(newflag) OVER (PARTITION BY user_id ORDER BY ts_ms
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(ts_ms) AS start_ms, max(ts_ms) AS end_ms
+FROM sessions GROUP BY user_id, session_id
+""",
+)
+def sessionize(spark, sf_dir):
+    """Gaps-and-islands sessionization (30-min gap) + session stats."""
+    p = _points(spark, sf_dir)
+    s = relational.sessionize(p.select("user_id", F.col("ts_ms")), key="user_id", ts_ms="ts_ms")
+    return s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts_ms").alias("start_ms"),
+        F.max("ts_ms").alias("end_ms"),
+    )
+
+
+@q(
+    "pair_speed",
+    f"""
+WITH {PTS_CTE},
+pairs AS (
+  SELECT user_id, ts_ms, lat, lon,
+         lag(ts_ms) OVER w AS p_ts, lag(lat) OVER w AS p_lat, lag(lon) OVER w AS p_lon
+  FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
+adm AS (
+  SELECT user_id, ts_ms - p_ts AS dt_ms,
+         2.0 * 6371008.8 * asin(sqrt(
+           least(1.0, pow(sin(radians(lat - p_lat)/2),2)
+                 + cos(radians(p_lat))*cos(radians(lat))*pow(sin(radians(lon - p_lon)/2),2)))) AS dist_m
+  FROM pairs
+  WHERE p_ts IS NOT NULL AND (lat != p_lat OR lon != p_lon) AND ts_ms - p_ts <= 200000000000)
+SELECT user_id, count(*) AS n_pairs,
+       round(sum(dist_m), 4) AS total_m,
+       sum(CASE WHEN dt_ms > 0 AND dist_m / (dt_ms/1000.0) <= 31.0 THEN 1 ELSE 0 END) AS n_admissible
+FROM adm GROUP BY user_id
+""",
+)
+def pair_speed(spark, sf_dir):
+    """W1 + F5/F6/F7/F8 on oracle-checkable data: per-user lag pairing,
+    stationary/max-gap filters, haversine speed admissibility."""
+    p = _points(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    pairs = (
+        p.withColumn("p_ts", F.lag("ts_ms").over(w))
+        .withColumn("p_lat", F.lag("lat").over(w))
+        .withColumn("p_lon", F.lag("lon").over(w))
+        .filter(
+            F.col("p_ts").isNotNull()
+            & ((F.col("lat") != F.col("p_lat")) | (F.col("lon") != F.col("p_lon")))
+            & ((F.col("ts_ms") - F.col("p_ts")) <= F.lit(200_000_000_000))
+        )
+    )
+    dist = (
+        F.lit(2.0 * 6371008.8)
+        * F.asin(
+            F.sqrt(
+                F.least(
+                    F.lit(1.0),
+                    F.pow(F.sin(F.radians(F.col("lat") - F.col("p_lat")) / 2), 2)
+                    + F.cos(F.radians("p_lat"))
+                    * F.cos(F.radians("lat"))
+                    * F.pow(F.sin(F.radians(F.col("lon") - F.col("p_lon")) / 2), 2),
+                )
+            )
+        )
+    )
+    adm = pairs.withColumn("dist_m", dist).withColumn(
+        "dt_ms", F.col("ts_ms") - F.col("p_ts")
+    )
+    return adm.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.sum("dist_m"), 4).alias("total_m"),
+        F.sum(
+            F.when(
+                (F.col("dt_ms") > 0)
+                & (F.col("dist_m") / (F.col("dt_ms") / 1000.0) <= 31.0),
+                1,
+            ).otherwise(0)
+        ).alias("n_admissible"),
+    )
+
+
+@q(
+    "speed_histogram",
+    f"""
+WITH {PTS_CTE}
+SELECT event_type AS segment_key, {_sql_week('ts_ms')} AS week, {_sql_hour('ts_ms')} AS hour_of_week,
+       {_sql_speed_bin('least(abs(value), 33.0)')} AS speed_bin, count(*) AS n
+FROM pts
+GROUP BY 1, 2, 3, 4
+""",
+)
+def speed_histogram(spark, sf_dir):
+    """A2 — the histogram aggregation with the reference's week/hour/speed
+    binning (SegmentStatistics.java:61-131), keyed by event_type."""
+    p = _points(spark, sf_dir).withColumn(
+        "speed", F.least(F.abs(F.col("value")), F.lit(33.0))
+    )
+    return (
+        p.select(
+            F.col("event_type").alias("segment_key"),
+            week_col(F.col("ts_ms")).alias("week"),
+            hour_of_week_col(F.col("ts_ms")).alias("hour_of_week"),
+            speed_bin_col(F.col("speed")).alias("speed_bin"),
+        )
+        .groupBy("segment_key", "week", "hour_of_week", "speed_bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_HIST_CTE = f"""
+hist AS (
+  SELECT event_type AS segment_key, {_sql_week('ts_ms')} AS week, {_sql_hour('ts_ms')} AS hour_of_week,
+         {_sql_speed_bin('least(abs(value), 33.0)')} AS speed_bin, count(*) AS n
+  FROM pts GROUP BY 1, 2, 3, 4)
+"""
+
+
+@q(
+    "summary_stats",
+    f"""
+WITH {PTS_CTE}, {_HIST_CTE}
+SELECT segment_key,
+       round(sum(((speed_bin - 0.5)/3.6) * n) / sum(n), 6) AS mean_ms,
+       round(sqrt(sum(pow((speed_bin - 0.5)/3.6, 2) * n) / sum(n)
+                  - pow(sum(((speed_bin - 0.5)/3.6) * n) / sum(n), 2)), 6) AS stddev_ms,
+       sum(n) AS count
+FROM hist GROUP BY segment_key
+""",
+)
+def summary_stats(spark, sf_dir):
+    """A4 — weighted mean + population stddev over histogram bin means
+    (SummaryStatistics.java:69-162)."""
+    hist = speed_histogram(spark, sf_dir)
+    mean_speed = (F.col("speed_bin").cast("double") - 0.5) / 3.6
+    return hist.groupBy("segment_key").agg(
+        F.round(F.sum(mean_speed * F.col("n")) / F.sum("n"), 6).alias("mean_ms"),
+        F.round(
+            F.sqrt(
+                F.sum(mean_speed * mean_speed * F.col("n")) / F.sum("n")
+                - F.pow(F.sum(mean_speed * F.col("n")) / F.sum("n"), F.lit(2.0))
+            ),
+            6,
+        ).alias("stddev_ms"),
+        F.sum("n").alias("count"),
+    )
+
+
+@q(
+    "rollup_weeks",
+    f"""
+WITH {PTS_CTE}, {_HIST_CTE}
+SELECT segment_key, hour_of_week, speed_bin, sum(n) AS n
+FROM hist GROUP BY segment_key, hour_of_week, speed_bin
+""",
+)
+def rollup_weeks(spark, sf_dir):
+    """A3 — cumulative all-weeks rollup (StatsDataStore.java:164-173)."""
+    return (
+        speed_histogram(spark, sf_dir)
+        .groupBy("segment_key", "hour_of_week", "speed_bin")
+        .agg(F.sum("n").alias("n"))
+    )
+
+
+@q(
+    "welch_ttest",
+    f"""
+WITH {PTS_CTE},
+g AS (SELECT event_type, count(*) AS n, avg(value) AS mean,
+             stddev_pop(value) AS sd
+      FROM pts WHERE event_type IN ('click', 'view') GROUP BY event_type),
+a AS (SELECT * FROM g WHERE event_type = 'click'),
+b AS (SELECT * FROM g WHERE event_type = 'view')
+SELECT round(a.mean - b.mean, 6) AS mean_diff,
+       round(sqrt(a.sd*a.sd/a.n + b.sd*b.sd/b.n), 6) AS combined_stddev,
+       round((a.mean - b.mean) / sqrt(a.sd*a.sd/a.n + b.sd*b.sd/b.n), 6) AS t_stat,
+       round(pow(a.sd*a.sd/a.n + b.sd*b.sd/b.n, 2)
+             / (pow(a.sd*a.sd/a.n, 2)/(a.n-1) + pow(b.sd*b.sd/b.n, 2)/(b.n-1)), 4) AS df
+FROM a, b
+""",
+)
+def welch_ttest(spark, sf_dir):
+    """A7 — Welch t-test comparison (SummaryStatisticsComparison.java:19-244,
+    with the stats1/stats2 bugs fixed; quirk variant in plans/stats.py)."""
+    p = _points(spark, sf_dir)
+    g = (
+        p.filter(F.col("event_type").isin("click", "view"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("value").alias("mean"),
+            F.stddev_pop("value").alias("sd"),
+        )
+    )
+    a = g.filter(F.col("event_type") == "click").alias("a")
+    b = g.filter(F.col("event_type") == "view").alias("b")
+    v1 = F.col("a.sd") * F.col("a.sd") / F.col("a.n")
+    v2 = F.col("b.sd") * F.col("b.sd") / F.col("b.n")
+    return a.crossJoin(b).select(
+        F.round(F.col("a.mean") - F.col("b.mean"), 6).alias("mean_diff"),
+        F.round(F.sqrt(v1 + v2), 6).alias("combined_stddev"),
+        F.round((F.col("a.mean") - F.col("b.mean")) / F.sqrt(v1 + v2), 6).alias("t_stat"),
+        F.round(
+            F.pow(v1 + v2, F.lit(2.0))
+            / (
+                F.pow(v1, F.lit(2.0)) / (F.col("a.n") - 1)
+                + F.pow(v2, F.lit(2.0)) / (F.col("b.n") - 1)
+            ),
+            4,
+        ).alias("df"),
+    )
+
+
+# =============================== relational ================================
+
+
+@q(
+    "tpch_q1",
+    """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice), 4) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def tpch_q1(spark, sf_dir):
+    """S2-style scan + hash agg (pricing summary)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@q(
+    "tpch_q3",
+    """
+SELECT o.o_orderkey, round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+       o.o_orderdate
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-03-15' AND l.l_shipdate > TIMESTAMP '1998-03-15'
+GROUP BY o.o_orderkey, o.o_orderdate
+""",
+)
+def tpch_q3(spark, sf_dir):
+    """Broadcast dim join + agg (shipping priority shape)."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue")
+        )
+        .select("o_orderkey", "revenue", "o_orderdate")
+    )
+
+
+@q(
+    "tpch_q5",
+    """
+SELECT n.n_name, round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+""",
+)
+def tpch_q5(spark, sf_dir):
+    """Multi-way star join with broadcast dims."""
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    dims = F.broadcast(
+        c.join(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey), c.c_nationkey == n.n_nationkey)
+        .select("c_custkey", "n_name")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(dims, o.o_custkey == dims.c_custkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+    )
+
+
+@q(
+    "topk_per_group",
+    """
+WITH rev AS (
+  SELECT l_suppkey, l_partkey, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+  FROM lineitem GROUP BY l_suppkey, l_partkey),
+ranked AS (
+  SELECT l_suppkey, l_partkey, revenue,
+         row_number() OVER (PARTITION BY l_suppkey ORDER BY revenue DESC, l_partkey) AS rank
+  FROM rev)
+SELECT l_suppkey, rank, l_partkey, revenue FROM ranked WHERE rank <= 3
+""",
+)
+def topk_per_group(spark, sf_dir):
+    """W5-generalisation: top-3 parts by revenue per supplier."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue")
+    )
+    out = relational.topk_per_group(rev, ["l_suppkey"], "revenue", 3, tiebreak="l_partkey")
+    return out.select("l_suppkey", "rank", "l_partkey", "revenue")
+
+
+@q(
+    "rollup_agg",
+    """
+SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 4) AS sum_qty,
+       grouping(l_returnflag) + 2 * grouping(l_linestatus) AS gid
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+def rollup_agg(spark, sf_dir):
+    """A3-shape rollup via native ROLLUP grouping sets."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        (F.grouping("l_returnflag") + F.lit(2) * F.grouping("l_linestatus")).alias("gid"),
+    )
+
+
+@q(
+    "range_join",
+    """
+SELECT o.o_orderkey, count(*) AS n_lines_in_window
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate BETWEEN o.o_orderdate AND o.o_orderdate + INTERVAL 60 DAY
+GROUP BY o.o_orderkey
+""",
+)
+def range_join(spark, sf_dir):
+    """Equi-key + interval-containment range join."""
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "win_end", F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+    )
+    li = _t(spark, sf_dir, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey")
+    out = relational.range_join(
+        o, li, on="o_orderkey",
+        left_lo="o_orderdate", left_hi="win_end", right_point="l_shipdate",
+    )
+    return out.groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("n_lines_in_window"))
+
+
+# ============================ dedup / text / ANN ===========================
+
+
+@q(
+    "dedup_exact",
+    f"""
+SELECT {_sql_hash('text')} AS text_hash, count(*) AS n_docs, min(doc_id) AS keep_doc_id
+FROM documents GROUP BY 1
+""",
+)
+def dedup_exact(spark, sf_dir):
+    return dedup.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+_SQL_NORM = "lower(regexp_replace(text, '\\s+', ' ', 'g'))"
+_SQL_TOKS = f"string_split(trim({_SQL_NORM}), ' ')"
+_SQL_SHINGLES3 = (
+    f"[array_to_string(list_slice(toks, i, i+2), ' ') "
+    f"for i in range(1, greatest(len(toks) - 1, 2))]"
+)
+
+
+@q(
+    "dedup_minhash_lsh",
+    f"""
+WITH norm AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+sh AS (SELECT doc_id, unnest({_SQL_SHINGLES3}) AS s FROM norm),
+seeded AS (SELECT doc_id, j, s FROM sh CROSS JOIN (SELECT unnest(range(16)) AS j)),
+sig AS (SELECT doc_id, j, min({_sql_hash("s || '_' || j")}) AS h FROM seeded GROUP BY doc_id, j),
+bands AS (SELECT doc_id, j // 4 AS band,
+                 md5(string_agg(h::VARCHAR, ',' ORDER BY j)) AS bkey
+          FROM sig GROUP BY doc_id, j // 4),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+shset AS (SELECT doc_id, list_distinct({_SQL_SHINGLES3.replace('toks', 'toks')}) AS sh
+          FROM norm),
+verified AS (
+  SELECT doc_a, doc_b,
+         round(len(list_intersect(x.sh, y.sh))::DOUBLE
+               / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))::DOUBLE, 6) AS jaccard
+  FROM cand JOIN shset x ON x.doc_id = doc_a JOIN shset y ON y.doc_id = doc_b)
+SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= 0.2
+""",
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    return dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
+
+
+@q(
+    "dedup_simhash",
+    f"""
+WITH norm AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS t FROM norm),
+h AS (SELECT doc_id, {_sql_hash('t')} AS h FROM tok),
+bit AS (SELECT doc_id, b, CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END AS v
+        FROM h CROSS JOIN (SELECT unnest(range(32)) AS b)),
+s AS (SELECT doc_id, b, sum(v) AS s FROM bit GROUP BY doc_id, b)
+SELECT doc_id,
+       sum(CASE WHEN s > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS simhash
+FROM s GROUP BY doc_id
+""",
+)
+def dedup_simhash(spark, sf_dir):
+    return dedup.simhash(_t(spark, sf_dir, "documents"))
+
+
+@q(
+    "dedup_ngram_jaccard",
+    f"""
+WITH norm AS (SELECT doc_id, lang, source, {_SQL_TOKS} AS toks FROM documents),
+shset AS (SELECT doc_id, lang, source, list_distinct({_SQL_SHINGLES3}) AS sh FROM norm)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(len(list_intersect(a.sh, b.sh))::DOUBLE
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE, 6) AS jaccard
+FROM shset a JOIN shset b
+  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE >= 0.1
+""",
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), block_cols=["lang", "source"]
+    )
+
+
+@q(
+    "dedup_embedding_cosine",
+    """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.embedding, b.embedding)
+             / (sqrt(list_dot_product(a.embedding, a.embedding))
+                * sqrt(list_dot_product(b.embedding, b.embedding))), 6) AS cosine
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.embedding, b.embedding)
+            / (sqrt(list_dot_product(a.embedding, a.embedding))
+               * sqrt(list_dot_product(b.embedding, b.embedding))), 6) >= 0.3
+""",
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    return dedup.embedding_cosine_pairs(_t(spark, sf_dir, "embeddings"), min_cosine=0.3)
+
+
+@q(
+    "ann_topk",
+    """
+WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings WHERE vec_id % 50 = 0),
+c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_dot_product(q.embedding, c.embedding)
+         / (sqrt(list_dot_product(q.embedding, q.embedding))
+            * sqrt(list_dot_product(c.embedding, c.embedding))) AS cos
+  FROM q CROSS JOIN c WHERE q.vec_id != c.vec_id),
+ranked AS (SELECT query_id, neighbor_id, cos,
+                  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+           FROM scored)
+SELECT query_id, rank, neighbor_id, round(cos, 6) AS cosine
+FROM ranked WHERE rank <= 5
+""",
+)
+def ann_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return ann.brute_topk(emb.filter(F.col("vec_id") % 50 == 0), emb, k=5)
+
+
+def _sql_lsh_bucket(n_planes: int = 8, dims: int = 64) -> str:
+    terms = []
+    for j in range(n_planes):
+        dots = " + ".join(
+            f"embedding[{k + 1}] * ((('0x' || substr(md5('{j}_{k}'), 1, 8))::BIGINT % 1000) - 500)"
+            for k in range(dims)
+        )
+        terms.append(f"CASE WHEN ({dots}) > 0 THEN {1 << j} ELSE 0 END")
+    return "(" + " + ".join(terms) + ")"
+
+
+@q(
+    "ann_lsh_buckets",
+    f"""
+SELECT vec_id, {_sql_lsh_bucket(8, 64)} AS bucket FROM embeddings
+""",
+)
+def ann_lsh_buckets(spark, sf_dir):
+    return ann.lsh_buckets(_t(spark, sf_dir, "embeddings"), n_planes=8, dims=64)
+
+
+def _sql_lang_case() -> str:
+    score = {
+        lang: f"len(list_intersect(toks, {words!r}))".replace("'", "'")
+        for lang, words in LANG_PROFILES.items()
+    }
+    scores_sql = {
+        lang: "len(list_filter(toks, t -> t IN (" + ",".join(f"'{w}'" for w in words) + ")))"
+        for lang, words in LANG_PROFILES.items()
+    }
+    # argmax with alphabetical tie-break (deterministic)
+    langs = sorted(LANG_PROFILES)
+    best = f"greatest({', '.join(scores_sql[la] for la in langs)})"
+    case = "CASE " + " ".join(
+        f"WHEN {scores_sql[la]} = {best} THEN '{la}'" for la in langs
+    ) + " END"
+    return case, best, scores_sql
+
+
+_LANG_CASE, _LANG_BEST, _ = _sql_lang_case()
+
+
+@q(
+    "text_langid",
+    f"""
+WITH norm AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+SELECT doc_id, {_LANG_CASE} AS pred_lang, {_LANG_BEST} AS score FROM norm
+""",
+)
+def text_langid(spark, sf_dir):
+    """Stopword-profile language ID (argmax with alphabetical tie-break)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = ws_tokens(F.col("text"))
+    scores = {
+        lang: F.size(F.filter(toks, lambda t: t.isin(words)))
+        for lang, words in sorted(LANG_PROFILES.items())
+    }
+    best = F.greatest(*scores.values())
+    pred = F.lit(None).cast("string")
+    for lang in sorted(LANG_PROFILES, reverse=True):
+        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+    return docs.select("doc_id", pred.alias("pred_lang"), best.cast("long").alias("score"))
+
+
+@q(
+    "text_quality",
+    f"""
+WITH norm AS (SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents)
+SELECT doc_id,
+       CASE WHEN strlen(trim(text)) = 0 THEN 0 ELSE len(toks) END AS n_tokens,
+       round(list_sum(list_transform(toks, t -> strlen(t)))::DOUBLE / greatest(len(toks), 1), 6) AS avg_token_len,
+       round((strlen(text) - strlen(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))::DOUBLE
+             / greatest(strlen(text), 1), 6) AS punct_ratio,
+       round(len(list_filter(toks, t -> t IN ('the','and','of','to','a','in','is','it','you','that')))::DOUBLE
+             / greatest(len(toks), 1), 6) AS stopword_ratio
+FROM norm
+""",
+)
+def text_quality(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        n_tokens_ws(F.col("text")).cast("long").alias("n_tokens"),
+        F.round(avg_token_len(F.col("text")), 6).alias("avg_token_len"),
+        F.round(punct_ratio(F.col("text")), 6).alias("punct_ratio"),
+        F.round(stopword_ratio(F.col("text")), 6).alias("stopword_ratio"),
+    )
+
+
+@q(
+    "text_tokens",
+    f"""
+SELECT doc_id,
+       CASE WHEN strlen(trim(text)) = 0 THEN 0 ELSE len({_SQL_TOKS}) END AS n_tokens_ws,
+       len(regexp_extract_all(text, '{TOKEN_RE}')) AS n_tokens_bpe
+FROM documents
+""",
+)
+def text_tokens(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        n_tokens_ws(F.col("text")).cast("long").alias("n_tokens_ws"),
+        n_tokens_bpe(F.col("text")).cast("long").alias("n_tokens_bpe"),
+    )
+
+
+_SQL_CANON = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),"
+    " '\\s+', ' ', 'g'))"
+)
+_SQL_FP = _sql_hash(_SQL_CANON)
+
+
+@q(
+    "text_fingerprint",
+    f"""
+SELECT doc_id, {_SQL_FP} AS fp
+FROM documents
+""",
+)
+def text_fingerprint(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", fingerprint(F.col("text")).alias("fp")
+    )
+
+
+# ========================= rows-only pipeline entries ======================
+# The real image pipeline on the input_hint-shaped table: deterministic
+# synthetic city (datagen), exact-match-tested against the pure-Python
+# oracle in tests/test_parity.py.  sf_dir is ignored (the traffic tables
+# are not part of the driver's star schema) — rows-only checks apply.
+
+_PIPE_CACHE: dict = {}
+
+
+def _pipeline(spark):
+    key = id(spark)
+    if key not in _PIPE_CACHE:
+        import pandas as pd
+
+        from .datagen.images_gen import images_from_fixes_pd
+        from .datagen.osm_gen import generate_city
+        from .datagen.trace_gen import generate_traces
+        from .plans import match as M
+        from .plans import network as N
+
+        nodes, ways, meta = generate_city(seed=42)
+        fixes = generate_traces(meta, seed=42)
+        images = spark.createDataFrame(images_from_fixes_pd(fixes))
+        segs, tls, jumpers = N.build_network_tables(
+            spark, spark.createDataFrame(ways), spark.createDataFrame(nodes)
+        )
+        crossings, samples = M.run_pipeline(spark, images, tls, segs, jumpers)
+        _PIPE_CACHE[key] = (images, segs, tls, jumpers, crossings, samples)
+    return _PIPE_CACHE[key]
+
+
+@q("traffic_crossings", None)
+def traffic_crossings(spark, sf_dir):
+    """J1+J2+W1 on the image table — exact-match vs oracle in pytest."""
+    return _pipeline(spark)[4]
+
+
+@q("traffic_speed_samples", None)
+def traffic_speed_samples(spark, sf_dir):
+    """Full pipeline output (J3/J4 kernel) — exact-match vs oracle in pytest."""
+    return _pipeline(spark)[5]
+
+
+@q("traffic_histograms", None)
+def traffic_histograms(spark, sf_dir):
+    from .plans import stats as S
+
+    return S.histograms(_pipeline(spark)[5])
+
+
+@q("traffic_triplines", None)
+def traffic_triplines(spark, sf_dir):
+    return _pipeline(spark)[2]
+
+
+@q("traffic_tile_invariants", None)
+def traffic_tile_invariants(spark, sf_dir):
+    from .plans import tiles as TI
+
+    return TI.tile_assignments_with_invariants(_pipeline(spark)[0])
+
+
+# ---------------------------------------------------------------------------
+
+
+def queries():
+    return {name: fn for name, (fn, _) in REGISTRY.items()}
+
+
+def oracle_sql():
+    return {name: sql for name, (fn, sql) in REGISTRY.items() if sql is not None}
