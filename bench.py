@@ -1,0 +1,120 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline traffic pipeline (spatial-join +
+tile-assignment rows/sec, per BASELINE.json) at ~0.8M image rows, plus the
+headline testdata queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "rows_per_sec": ..., ...}
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32),
+     SPARK_GRAFT_BENCH_TRACES (default 8000; ~0.85M rows),
+     SPARK_GRAFT_BENCH_DIR (default /root/repo/.bench_data).
+Scaling runs (local[8] vs local[32]): tools/scaling_bench.py → BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def log(msg: str):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_traces = int(os.environ.get("SPARK_GRAFT_BENCH_TRACES", "8000"))
+    bench_dir = os.environ.get("SPARK_GRAFT_BENCH_DIR", "/root/repo/.bench_data")
+
+    from traffic_engine_spark import get_spark
+    from traffic_engine_spark.datagen.bench_data import bench_network, ensure_bench_images
+    from traffic_engine_spark.plans import match as M
+    from traffic_engine_spark.plans import network as N
+    from traffic_engine_spark.plans import stats as S
+    from traffic_engine_spark.plans import tiles as TI
+    from traffic_engine_spark.queries import REGISTRY
+
+    spark = get_spark(app_name="bench", cores=cpus, shuffle_partitions=cpus)
+    timings: dict[str, float] = {}
+
+    # --- bench input (cached; generation excluded from timings) -----------
+    images_path = os.path.join(bench_dir, f"images_{n_traces}")
+    t0 = time.time()
+    ensure_bench_images(spark, images_path, n_traces=n_traces)
+    log(f"bench images ready in {time.time() - t0:.1f}s")
+    images = spark.read.parquet(images_path)
+    n_images = images.count()
+    log(f"bench images rows: {n_images}")
+
+    # warmup: pre-fork Python workers + touch every testdata table so the
+    # timed sections measure the operators, not JVM/worker cold start
+    t0 = time.time()
+    spark.range(1000, numPartitions=cpus).mapInPandas(
+        lambda it: it, schema="id long"
+    ).count()
+    for t in ("lineitem", "orders", "customer", "events", "documents", "embeddings"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+    log(f"warmup {time.time() - t0:.1f}s")
+
+    # --- network build (small; timed) -------------------------------------
+    t0 = time.time()
+    ways, nodes = bench_network(spark)
+    segs, tls, jumpers = N.build_network_tables(spark, ways, nodes)
+    n_tl = tls.count()
+    timings["network_build"] = round(time.time() - t0, 3)
+    log(f"network: {n_tl} triplines in {timings['network_build']}s")
+
+    # --- HEADLINE: spatial-join pipeline (decode→pair→join→refine→kernel→hist)
+    t0 = time.time()
+    crossings, samples = M.run_pipeline(spark, images, tls, segs, jumpers)
+    hist = S.histograms(samples)
+    n_hist = hist.count()
+    timings["traffic_pipeline"] = round(time.time() - t0, 3)
+    log(f"pipeline: {n_hist} hist rows in {timings['traffic_pipeline']}s")
+
+    # --- HEADLINE: tile assignment over every image row -------------------
+    t0 = time.time()
+    n_tiles = TI.assign_tiles(images).count()
+    timings["tile_assign"] = round(time.time() - t0, 3)
+    log(f"tiles: {n_tiles} rows in {timings['tile_assign']}s")
+
+    headline_sec = timings["traffic_pipeline"] + timings["tile_assign"]
+    rows_per_sec = int((n_images + n_tiles) / headline_sec) if headline_sec else 0
+
+    # --- testdata headline queries ----------------------------------------
+    bench_queries = [
+        "tpch_q1", "tpch_q3", "tpch_q5", "cell_join", "knn_join", "pip_assign",
+        "speed_histogram", "summary_stats", "sessionize", "asof_join",
+        "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "ann_topk",
+        "text_quality", "text_fingerprint",
+    ]
+    for name in bench_queries:
+        fn = REGISTRY[name][0]
+        t0 = time.time()
+        cnt = fn(spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+        log(f"{name}: {cnt} rows in {timings[name]}s")
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "spatial-join + tile-assignment + headline queries, total wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir.rstrip("/").split("sf")[-1],
+        "rows_per_sec": rows_per_sec,
+        "pipeline_rows": n_images,
+        "cpus": cpus,
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

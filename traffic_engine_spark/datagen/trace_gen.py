@@ -90,7 +90,14 @@ def _sample_fixes(meta, rng, path_nodes, t0_ms, speed_lo=6.0, speed_hi=14.0):
     return fixes
 
 
-def generate_traces(meta, seed: int = 42, n_traces: int = 20) -> pd.DataFrame:
+def generate_traces(
+    meta,
+    seed: int = 42,
+    n_traces: int = 20,
+    n_moves_lo: int = 6,
+    n_moves_hi: int = 14,
+    edge_cases: bool = True,
+) -> pd.DataFrame:
     """Returns fixes DataFrame: (trace_id, seq, ts, lat, lon).
 
     ``ts`` is epoch ms except the seconds-units edge trace (< 15e9 ⇒ the
@@ -106,12 +113,19 @@ def generate_traces(meta, seed: int = 42, n_traces: int = 20) -> pd.DataFrame:
     for t in range(n_traces):
         rng = np.random.default_rng(seed * 1_000_003 + t)
         start = (int(rng.integers(0, n_rows)), int(rng.integers(0, n_cols)))
-        n_moves = int(rng.integers(6, 14))
+        n_moves = int(rng.integers(n_moves_lo, n_moves_hi))
         # spread over hours of two weeks (histogram spread, FIXTURES §3)
         week = int(rng.integers(0, 2))
         hour = int(rng.integers(0, 7 * 24))
         t0 = BASE_TS_MS + week * 7 * 86_400_000 + hour * 3_600_000
         emit(t, _sample_fixes(meta, rng, _walk_polyline(meta, rng, start, n_moves), t0))
+
+    if not edge_cases:
+        df = pd.DataFrame(rows, columns=["trace_id", "seq", "ts", "lat", "lon"])
+        return df.astype(
+            {"trace_id": np.int64, "seq": np.int32, "ts": np.int64,
+             "lat": np.float64, "lon": np.float64}
+        )
 
     nid = meta["node_id"]
     rngE = np.random.default_rng(seed + 777)

@@ -48,17 +48,25 @@ def n_tokens_bpe(text: Column) -> Column:
     return F.size(F.regexp_extract_all(text, F.lit(TOKEN_RE), 0))
 
 
+def shingles_from_tokens(toks: Column, k: int = 3) -> Column:
+    """k-word shingles from an already-materialised token array.
+
+    IMPORTANT perf note: pass a *column reference* to a materialised token
+    array, not an inline split expression — Catalyst re-evaluates the
+    lambda's free subexpressions per element, which turns an inline
+    tokenise into O(tokens²) string work per row."""
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+
+
 def word_shingles(text: Column, k: int = 3) -> Column:
     """k-word shingles of the normalised text (array<string>).
 
-    SQL twin: list comprehension over the split array.
-    """
-    toks = ws_tokens(text)
-    n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
-    return F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k))
-    )
+    SQL twin: list comprehension over the split array.  For hot paths
+    prefer `.withColumn("toks", ws_tokens(text))` + `shingles_from_tokens`
+    (see that function's perf note)."""
+    return shingles_from_tokens(ws_tokens(text), k)
 
 
 def char_shingles(text: Column, k: int = 5) -> Column:

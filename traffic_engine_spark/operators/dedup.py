@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import hash64, normalize, word_shingles
+from ..functions.text import hash64, normalize, shingles_from_tokens, word_shingles, ws_tokens
 from ..functions.vectors import cosine, hyperplane_bucket
 
 
@@ -25,22 +25,45 @@ def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+MINHASH_PRIME = 2147483647  # 2^31 - 1; keeps a*h+b < 2^62 (no bigint overflow
+# in either Spark or DuckDB, so the SQL oracle is bit-identical)
+
+
+def _minhash_coeffs(n_hashes: int) -> tuple[list[int], list[int]]:
+    """Deterministic affine coefficients from the shared md5 hash."""
+    import hashlib
+
+    def h(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    a = [(h(f"mh_a_{j}") % (MINHASH_PRIME - 2)) + 1 for j in range(n_hashes)]
+    b = [h(f"mh_b_{j}") % MINHASH_PRIME for j in range(n_hashes)]
+    return a, b
+
+
 def minhash_signatures(
     docs: DataFrame, text_col: str = "text", n_hashes: int = 16, shingle_k: int = 3
 ) -> DataFrame:
-    """(doc_id, j, h): minhash over word shingles with the shared md5 hash.
+    """(doc_id, j, h): minhash over word shingles.
 
-    explode(shingles) × explode(seeds) → groupBy(doc, seed).min — partial
-    aggregation collapses the explosion map-side, so the shuffle carries
-    only |docs| × n_hashes rows regardless of document length."""
-    sh = docs.select(
-        "doc_id", F.explode(word_shingles(F.col(text_col), shingle_k)).alias("s")
+    One md5 per shingle, then the j-th hash is the affine rehash
+    (a_j·h₀ + b_j) mod p — the standard cheap MinHash family.  The
+    explode(shingles) × explode(seeds) feeds groupBy(doc, seed).min with
+    map-side partial aggregation, so the shuffle carries only
+    |docs| × n_hashes rows regardless of document length."""
+    a, b = _minhash_coeffs(n_hashes)
+    sh = (
+        docs.select("doc_id", ws_tokens(F.col(text_col)).alias("toks"))
+        .select("doc_id", F.explode(shingles_from_tokens(F.col("toks"), shingle_k)).alias("s"))
+        .select("doc_id", (hash64(F.col("s")) % MINHASH_PRIME).alias("h0"))
     )
     seeded = sh.select(
-        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("j"), "s"
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("j"), "h0"
     )
+    aj = F.element_at(F.array(*[F.lit(x) for x in a]), F.col("j") + 1)
+    bj = F.element_at(F.array(*[F.lit(x) for x in b]), F.col("j") + 1)
     return seeded.groupBy("doc_id", "j").agg(
-        F.min(hash64(F.col("s"), F.col("j").cast("string"))).alias("h")
+        F.min((aj * F.col("h0") + bj) % MINHASH_PRIME).alias("h")
     )
 
 
@@ -67,18 +90,43 @@ def minhash_lsh_pairs(
             ).alias("bkey")
         )
     )
-    cand = (
-        bands.alias("a")
-        .join(bands.alias("b"), ["band", "bkey"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
+    # bucket-explode instead of a self-join: one pass over the signature
+    # plan, and the shuffle key is (band, bkey) — bounded buckets.  Pairs
+    # come from an in-bucket combination explode (ids sorted ⇒ a < b).
+    buckets = (
+        bands.groupBy("band", "bkey")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
     )
-    # exact verify: |A∩B| / |A∪B| over distinct shingle sets
-    sh = docs.select(
-        "doc_id", F.array_distinct(word_shingles(F.col(text_col), shingle_k)).alias("sh")
+    pair_combos = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    cand = (
+        buckets.select(F.explode(pair_combos).alias("p"))
+        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+        .distinct()
+        # candidates are tiny; materialise them so the signature chain runs
+        # exactly once (it would otherwise re-run for the broadcast
+        # cand_ids subquery AND the verify join)
+        .localCheckpoint()
+    )
+    # exact verify — shingle sets computed only for candidate docs
+    cand_ids = cand.select(F.col("doc_a").alias("doc_id")).unionByName(
+        cand.select(F.col("doc_b").alias("doc_id"))
+    ).distinct()
+    sh = (
+        docs.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+        .select("doc_id", ws_tokens(F.col(text_col)).alias("toks"))
+        .select(
+            "doc_id",
+            F.array_distinct(shingles_from_tokens(F.col("toks"), shingle_k)).alias("sh"),
+        )
     )
     verified = (
         cand.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
@@ -130,8 +178,10 @@ def ngram_jaccard_pairs(
     (e.g. (lang, source)), the quadratic blow-up is bounded per block.
     Skewed blocks at scale: salt the block key or fall back to LSH."""
     sh = docs.select(
+        *block_cols, "doc_id", ws_tokens(F.col(text_col)).alias("toks")
+    ).select(
         *block_cols, "doc_id",
-        F.array_distinct(word_shingles(F.col(text_col), shingle_k)).alias("sh"),
+        F.array_distinct(shingles_from_tokens(F.col("toks"), shingle_k)).alias("sh"),
     )
     a = sh.alias("a")
     b = sh.alias("b")

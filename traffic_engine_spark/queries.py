@@ -751,13 +751,25 @@ _SQL_SHINGLES3 = (
 )
 
 
+def _minhash_sql_coeffs():
+    from .operators.dedup import _minhash_coeffs
+
+    a, b = _minhash_coeffs(16)
+    return f"[{', '.join(map(str, a))}]", f"[{', '.join(map(str, b))}]"
+
+
+_MH_A, _MH_B = _minhash_sql_coeffs()
+
+
 @q(
     "dedup_minhash_lsh",
     f"""
 WITH norm AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
 sh AS (SELECT doc_id, unnest({_SQL_SHINGLES3}) AS s FROM norm),
-seeded AS (SELECT doc_id, j, s FROM sh CROSS JOIN (SELECT unnest(range(16)) AS j)),
-sig AS (SELECT doc_id, j, min({_sql_hash("s || '_' || j")}) AS h FROM seeded GROUP BY doc_id, j),
+base AS (SELECT doc_id, {_sql_hash('s')} % 2147483647 AS h0 FROM sh),
+seeded AS (SELECT doc_id, j, h0 FROM base CROSS JOIN (SELECT unnest(range(16)) AS j)),
+sig AS (SELECT doc_id, j, min(({_MH_A}[j+1] * h0 + {_MH_B}[j+1]) % 2147483647) AS h
+        FROM seeded GROUP BY doc_id, j),
 bands AS (SELECT doc_id, j // 4 AS band,
                  md5(string_agg(h::VARCHAR, ',' ORDER BY j)) AS bkey
           FROM sig GROUP BY doc_id, j // 4),

@@ -1,0 +1,197 @@
+"""Structured Streaming variant of the match pipeline (SURVEY §2.8).
+
+The reference is a continuously-running stateful processor: per-vehicle
+queues, 5-minute vehicle TTL (VehicleStates.java:18,232-245), arrival-order
+pairing with no watermark.  The Spark recast:
+
+  readStream (images) → decode → applyInPandasWithState keyed by trace_id,
+  state = (last fix, pending crossings, last segment, last segment time) —
+  exactly the Vehicle fields (Vehicle.java:29-39) — with processing-time
+  timeout as the TTL (W4).
+
+The kernel *shares the same state-transition code path shape* as the batch
+kernel (plans/match.py); batch is the source of truth for parity tests,
+and the streaming kernel is validated against batch outputs on the same
+fixture (tests/test_streaming.py) via the foreachBatch-free memory sink.
+
+The anonymity gate (W3, ≥10 vehicles per tile) is a cross-key aggregate —
+approximated in streaming as a separate windowed count stream (documented
+deviation, SURVEY §7.4.6); batch mode gates exactly.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..config import (
+    MAX_PAIR_DELTA_MS_QUIRK,
+    MAX_SPEED,
+    MIN_SEGMENT_LEN,
+    VEHICLE_INVALIDATION_TIME_MS,
+    Z_ITEM,
+)
+from ..functions.cells import bbox_tiles_np
+from ..oracle.pyoracle import intersection_distance
+
+STREAM_SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("trace_id", T.LongType(), False),
+        T.StructField("segment_id", T.LongType(), False),
+        T.StructField("time", T.LongType(), False),
+        T.StructField("speed", T.DoubleType(), False),
+        T.StructField("source", T.StringType(), False),
+    ]
+)
+
+# state: lastPoint (ts, lat, lon), pending crossings, last segment nodes,
+# last segment time — GroupState holds one tuple row
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_ts", T.LongType(), True),
+        T.StructField("last_lat", T.DoubleType(), True),
+        T.StructField("last_lon", T.DoubleType(), True),
+        T.StructField("pending", T.ArrayType(T.ArrayType(T.DoubleType())), True),
+        T.StructField("last_seg_start", T.LongType(), True),
+        T.StructField("last_seg_end", T.LongType(), True),
+        T.StructField("last_seg_time", T.LongType(), True),
+    ]
+)
+
+
+def make_stream_kernel(tile_index: dict, tl_attrs: dict, seg_nodes: dict, jumpers: dict):
+    """Build the applyInPandasWithState function over broadcastable dicts:
+    tile_index: (x, y) → [tripline_id], tl_attrs: id → (segment_id, index,
+    dist, lon0, lat0, lon1, lat1), seg_nodes: segment_id → (start, end),
+    jumpers: (end, start) → (length, [segment_ids])."""
+
+    def kernel(key, pdf_iter, state: GroupState):
+        trace_id = key[0]
+        if state.hasTimedOut:  # W4 vehicle eviction
+            state.remove()
+            yield pd.DataFrame(columns=[f.name for f in STREAM_SAMPLE_SCHEMA.fields])
+            return
+
+        if state.exists:
+            last_ts, last_lat, last_lon, pending_raw, lss, lse, lst = state.get
+            pending = [tuple(p) for p in (pending_raw or [])]
+            last_seg = (lss, lse) if lss is not None else None
+        else:
+            last_ts = last_lat = last_lon = None
+            pending, last_seg, lst = [], None, None
+
+        out = []
+        for pdf in pdf_iter:
+            for r in pdf.sort_values(["ts", "image_id"]).itertuples():
+                ts, lat, lon = int(r.ts), float(r.lat), float(r.lon)
+                p0 = (last_ts, last_lat, last_lon) if last_ts is not None else None
+                last_ts, last_lat, last_lon = ts, lat, lon
+                if p0 is None:
+                    continue
+                if ts - p0[0] > MAX_PAIR_DELTA_MS_QUIRK:
+                    continue
+                if p0[1] == lat and p0[2] == lon:
+                    continue
+                crossings = []
+                for tile in bbox_tiles_np([p0[2], lon], [p0[1], lat], Z_ITEM, margin=1):
+                    for tl_id in tile_index.get(tile, ()):
+                        seg_id, idx, dist, lon0, lat0, lon1, lat1 = tl_attrs[tl_id]
+                        t_gps = intersection_distance((p0[2], p0[1]), (lon, lat), (lon0, lat0), (lon1, lat1))
+                        if t_gps is None or t_gps < 0 or t_gps > 1:
+                            continue
+                        t_tl = intersection_distance((lon0, lat0), (lon1, lat1), (p0[2], p0[1]), (lon, lat))
+                        if t_tl is None or t_tl < 0 or t_tl > 1:
+                            continue
+                        time = int((ts - p0[0]) * t_gps + p0[0])
+                        crossings.append((time, tl_id, seg_id, idx, dist, tile[0], tile[1]))
+                crossings.sort(key=lambda c: (c[0], c[5], c[6], c[1]))
+                for c_time, tl_id, c_seg, c_idx, c_dist, _, _ in crossings:
+                    last_crossing = None
+                    for pc in sorted(pending):
+                        if pc[2] == c_seg and pc[3] <= c_idx and abs(pc[3] - c_idx) == 1:
+                            last_crossing = pc
+                            pending = []
+                            break
+                    if c_idx == 1:
+                        pending.append((c_time, tl_id, c_seg, c_idx, c_dist))
+                    if last_crossing is None:
+                        continue
+                    if c_idx < last_crossing[3]:
+                        continue
+                    dt_s = (c_time - last_crossing[0]) // 1000
+                    if dt_s == 0:
+                        continue
+                    speed = abs(c_dist - last_crossing[4]) / dt_s
+                    if speed > MAX_SPEED:
+                        continue
+                    sample_time = int(last_crossing[0])
+                    cur = seg_nodes.get(c_seg)
+                    if cur is not None and last_seg is not None and last_seg[1] != cur[0]:
+                        jm = jumpers.get((last_seg[1], cur[0]))
+                        if jm is not None:
+                            dtj = (sample_time - lst) // 1000
+                            jspeed = (jm[0] + MIN_SEGMENT_LEN * 2) / dtj if dtj != 0 else float("inf")
+                            for sid in jm[1]:
+                                out.append((trace_id, sid, sample_time, jspeed, "jumper"))
+                    lst = sample_time
+                    last_seg = cur
+                    out.append((trace_id, c_seg, sample_time, speed, "crossing"))
+
+        state.update(
+            (
+                last_ts, last_lat, last_lon,
+                [list(map(float, p)) for p in pending],
+                last_seg[0] if last_seg else None,
+                last_seg[1] if last_seg else None,
+                lst,
+            )
+        )
+        state.setTimeoutDuration(VEHICLE_INVALIDATION_TIME_MS)
+        yield pd.DataFrame(
+            out, columns=[f.name for f in STREAM_SAMPLE_SCHEMA.fields]
+        )
+
+    return kernel
+
+
+def stream_speed_samples(fixes_stream: DataFrame, network_dicts) -> DataFrame:
+    """fixes readStream → speed samples via per-trace stateful kernel."""
+    tile_index, tl_attrs, seg_nodes, jumpers = network_dicts
+    kernel = make_stream_kernel(tile_index, tl_attrs, seg_nodes, jumpers)
+    return (
+        fixes_stream.groupBy("trace_id")
+        .applyInPandasWithState(
+            kernel,
+            outputStructType=STREAM_SAMPLE_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
+def network_to_dicts(segments_pd, triplines_pd, jumpers_pd):
+    """Pack the (small) network tables into the kernel's lookup dicts."""
+    tile_index: dict = {}
+    tl_attrs: dict = {}
+    for r in triplines_pd.itertuples():
+        tl_attrs[int(r.tripline_id)] = (
+            int(r.segment_id), int(r.tripline_index), float(r.dist_m),
+            float(r.lon0), float(r.lat0), float(r.lon1), float(r.lat1),
+        )
+        for t in bbox_tiles_np([r.lon0, r.lon1], [r.lat0, r.lat1], Z_ITEM, margin=0):
+            tile_index.setdefault(t, []).append(int(r.tripline_id))
+    for ids in tile_index.values():
+        ids.sort()
+    seg_nodes = {
+        int(r.segment_id): (int(r.start_node_id), int(r.end_node_id))
+        for r in segments_pd.itertuples()
+    }
+    jumpers = {
+        (int(r.start_node_id), int(r.end_node_id)): (float(r.length_m), [int(x) for x in r.segment_ids])
+        for r in jumpers_pd.itertuples()
+    }
+    return tile_index, tl_attrs, seg_nodes, jumpers
