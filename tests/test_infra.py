@@ -108,7 +108,7 @@ def test_streaming_kernel_matches_batch(spark, spark_network, fixes, images_pd, 
         .toPandas()
     )
 
-    with tempfile.TemporaryDirectory() as d:
+    with tempfile.TemporaryDirectory(ignore_cleanup_errors=True) as d:
         src = os.path.join(d, "src")
         os.makedirs(src)
         M.decode_fixes(images).write.mode("overwrite").parquet(src)
@@ -121,7 +121,8 @@ def test_streaming_kernel_matches_batch(spark, spark_network, fixes, images_pd, 
             .outputMode("append").option("checkpointLocation", os.path.join(d, "ck"))
             .trigger(availableNow=True).start()
         )
-        q.awaitTermination(120)
+        q.awaitTermination(180)
+        q.stop()
         got = spark.sql("select * from stream_samples").toPandas()
 
     key = ["trace_id", "segment_id", "time", "speed", "source"]

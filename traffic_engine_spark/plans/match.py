@@ -28,6 +28,7 @@ from pyspark.sql import types as T
 from ..config import (
     DEFAULT_CONFIG,
     EngineConfig,
+    INTERSECTION_MARGIN_METERS,
     MAX_PAIR_DELTA_MS_FIXED,
     MAX_PAIR_DELTA_MS_QUIRK,
     MAX_SPEED,
@@ -37,6 +38,7 @@ from ..config import (
     Z_ITEM,
 )
 from ..functions.binning import coerce_ms_col
+from ..functions.ids import tripline_id_py
 from ..functions.cells import explode_bbox_cover, tile_x_col, tile_y_col
 
 # ---------------------------------------------------------------------------
@@ -130,8 +132,14 @@ def find_crossings(
     semantics), with the matched (tile_x, tile_y) kept for the kernel's
     deterministic ordering (the reference's B-tree scan order,
     SpatialDataStore.java:165-177)."""
+    # narrow the probe row before the ~20× cover explode: every byte here is
+    # multiplied by the fan-out (image_id in particular is dead weight — the
+    # kernel keys on (trace_id, seq))
+    probe = pairs.select(
+        "trace_id", "seq", "ts", "p_ts", "lat", "lon", "p_lat", "p_lon"
+    )
     gps_cells = explode_bbox_cover(
-        pairs,
+        probe,
         F.least("lon", "p_lon"), F.least("lat", "p_lat"),
         F.greatest("lon", "p_lon"), F.greatest("lat", "p_lat"),
         zoom=Z_ITEM, margin=1,
@@ -165,7 +173,7 @@ def find_crossings(
         )
     )
     return refined.select(
-        "trace_id", "seq", "image_id", "time", "segment_id", "tripline_index",
+        "trace_id", "seq", "time", "segment_id", "tripline_index",
         "tripline_id", F.col("dist_m").alias("dist"), "tile_x", "tile_y",
     )
 
@@ -203,26 +211,44 @@ def speed_samples(
     Side inputs (segment endpoint nodes + jumpers) ship as broadcast dicts
     — at planet scale these shard by z11 area and join in as broadcast
     *per region bucket*."""
-    seg_nodes = {
-        int(r.segment_id): (int(r.start_node_id), int(r.end_node_id))
-        for r in segments.select("segment_id", "start_node_id", "end_node_id").collect()
-    }
+    seg_nodes = {}
+    tl_attrs = {}  # packed (idx<<60 | segment_id) → (tripline_id, dist)
+    for r in segments.select(
+        "segment_id", "start_node_id", "end_node_id", "length_m"
+    ).collect():
+        sid = int(r.segment_id)
+        seg_nodes[sid] = (int(r.start_node_id), int(r.end_node_id))
+        if float(r.length_m) > MIN_SEGMENT_LEN:
+            tl_attrs[(1 << 60) | sid] = (tripline_id_py(sid, 1), INTERSECTION_MARGIN_METERS)
+            tl_attrs[(2 << 60) | sid] = (
+                tripline_id_py(sid, 2), float(r.length_m) - INTERSECTION_MARGIN_METERS,
+            )
     jm = {
         (int(r.start_node_id), int(r.end_node_id)): (float(r.length_m), [int(x) for x in r.segment_ids])
         for r in jumpers_pd.itertuples()
     }
     bc_seg = spark.sparkContext.broadcast(seg_nodes)
+    bc_tl = spark.sparkContext.broadcast(tl_attrs)
     bc_jump = spark.sparkContext.broadcast(jm)
 
-    arranged = crossings.select(
-        "trace_id", "seq", "time", "segment_id", "tripline_index",
-        "tripline_id", "dist", "tile_x", "tile_y",
-    ).repartition("trace_id").sortWithinPartitions(
-        "trace_id", "seq", "time", "tile_x", "tile_y", "tripline_id"
+    n_part = spark.sparkContext.defaultParallelism * 4  # explicit: AQE would
+    # coalesce by byte size and starve the Python stage of parallelism
+    packed = F.shiftleft(F.col("tripline_index").cast("long"), 60) + F.col("segment_id")
+    arranged = (
+        crossings.select(
+            "trace_id", "seq", "time", "segment_id", "tripline_index",
+            "tripline_id", "tile_x", "tile_y", packed.alias("packed"),
+        )
+        .repartition(n_part, "trace_id")
+        .sortWithinPartitions("trace_id", "seq", "time", "tile_x", "tile_y", "tripline_id")
+        # ordering established — project everything but the 3-column payload
+        # away so it never crosses the Arrow boundary
+        .select("trace_id", "time", "packed")
     )
 
     def run(batches):
-        seg_map, jump_map = bc_seg.value, bc_jump.value
+        seg_map, jump_map, tl_map = bc_seg.value, bc_jump.value, bc_tl.value
+        seg_mask = (1 << 60) - 1
         state_trace = None
         pending: list[tuple] = []
         last_segment = None
@@ -234,29 +260,33 @@ def speed_samples(
         out_src: list[str] = []
 
         for pdf in batches:
-            tr = pdf["trace_id"].to_numpy()
-            tm = pdf["time"].to_numpy()
-            sg = pdf["segment_id"].to_numpy()
-            idx = pdf["tripline_index"].to_numpy()
-            tid = pdf["tripline_id"].to_numpy()
-            ds_ = pdf["dist"].to_numpy()
-            for i in range(len(pdf)):
+            # tolist(): one C pass to native python scalars — per-element
+            # numpy→int conversion in the loop is ~3× slower
+            tr = pdf["trace_id"].to_numpy().tolist()
+            tm = pdf["time"].to_numpy().tolist()
+            pk = pdf["packed"].to_numpy().tolist()
+            for i in range(len(tr)):
                 trace = tr[i]
                 if trace != state_trace:
                     state_trace = trace
                     pending = []
                     last_segment = None
                     last_segment_time = None
-                c_time, c_seg, c_idx, c_dist = int(tm[i]), int(sg[i]), int(idx[i]), float(ds_[i])
+                c_time = tm[i]
+                p = pk[i]
+                c_seg = p & seg_mask
+                c_idx = p >> 60
+                c_tlid, c_dist = tl_map[p]
                 last_crossing = None
                 if pending:
-                    for pc in sorted(pending):
+                    it = pending if len(pending) == 1 else sorted(pending)
+                    for pc in it:
                         if pc[2] == c_seg and pc[3] <= c_idx and abs(pc[3] - c_idx) == 1:
                             last_crossing = pc
                             pending = []
                             break
                 if c_idx == 1:
-                    pending.append((c_time, int(tid[i]), c_seg, c_idx, c_dist))
+                    pending.append((c_time, c_tlid, c_seg, c_idx, c_dist))
                 if last_crossing is None:
                     continue
                 if c_idx < last_crossing[3]:
@@ -275,12 +305,12 @@ def speed_samples(
                         dtj = (sample_time - last_segment_time) // 1000
                         jspeed = (jmp[0] + MIN_SEGMENT_LEN * 2) / dtj if dtj != 0 else float("inf")
                         for sid in jmp[1]:
-                            out_trace.append(int(trace)); out_seg.append(sid)
+                            out_trace.append(trace); out_seg.append(sid)
                             out_time.append(sample_time); out_speed.append(jspeed)
                             out_src.append("jumper")
                 last_segment_time = sample_time
                 last_segment = cur_nodes
-                out_trace.append(int(trace)); out_seg.append(c_seg)
+                out_trace.append(trace); out_seg.append(c_seg)
                 out_time.append(sample_time); out_speed.append(speed)
                 out_src.append("crossing")
             if len(out_trace) >= 65536:
