@@ -342,7 +342,9 @@ def anonymity_gate(fixes: DataFrame, min_vehicles: int = MINIMUM_VEHICLE_COUNT) 
     )
     counts = (
         with_tile.groupBy("ax", "ay")
-        .agg(F.approx_count_distinct("trace_id").alias("n_traces"))
+        .agg(F.countDistinct("trace_id").alias("n_traces"))  # exact: the
+        # gate must be deterministic across runs/partitionings (north rule);
+        # tile cardinality is low so exact distinct is cheap
         .filter(F.col("n_traces") >= min_vehicles)
     )
     return with_tile.join(F.broadcast(counts.select("ax", "ay")), ["ax", "ay"], "left_semi").drop("ax", "ay")

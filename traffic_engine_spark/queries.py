@@ -571,6 +571,43 @@ def welch_ttest(spark, sf_dir):
     )
 
 
+@q(
+    "anonymity_gate",
+    f"""
+WITH {PTS_CTE},
+tiled AS (SELECT event_id, user_id, {_sql_tile_x('lon', 16)} AS ax, {_sql_tile_y('lat', 16)} AS ay FROM pts),
+ok AS (SELECT ax, ay FROM tiled GROUP BY ax, ay HAVING count(DISTINCT user_id) >= 10)
+SELECT t.ax AS tile_x, t.ay AS tile_y, count(*) AS n_points, count(DISTINCT t.user_id) AS n_users
+FROM tiled t JOIN ok ON t.ax = ok.ax AND t.ay = ok.ay
+GROUP BY t.ax, t.ay
+""",
+)
+def anonymity_gate_q(spark, sf_dir):
+    """W3 — the k-anonymity cell gate (VehicleStates.java:19,188-227):
+    cells observed by < MINIMUM_VEHICLE_COUNT distinct traces are dropped
+    via a count-distinct semi-join (exact, deterministic)."""
+    p = _points(spark, sf_dir)
+    tiled = p.select(
+        "event_id", "user_id",
+        tile_x_col(F.col("lon"), 16).alias("ax"),
+        tile_y_col(F.col("lat"), 16).alias("ay"),
+    )
+    ok = (
+        tiled.groupBy("ax", "ay")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .filter(F.col("n") >= 10)
+        .select("ax", "ay")
+    )
+    return (
+        tiled.join(F.broadcast(ok), ["ax", "ay"], "left_semi")
+        .groupBy(F.col("ax").alias("tile_x"), F.col("ay").alias("tile_y"))
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
 # =============================== relational ================================
 
 
