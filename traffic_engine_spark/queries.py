@@ -1032,6 +1032,58 @@ def text_fingerprint(spark, sf_dir):
     )
 
 
+@q(
+    "ann_ivf_assign",
+    """
+WITH c AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv
+           FROM embeddings WHERE vec_id < 8),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+scored AS (
+  SELECT v.vec_id, c.centroid_id,
+         list_dot_product(v.emb, c.cv)
+         / (sqrt(list_dot_product(v.emb, v.emb)) * sqrt(list_dot_product(c.cv, c.cv))) AS cos
+  FROM v CROSS JOIN c),
+ranked AS (SELECT vec_id, centroid_id,
+                  row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, centroid_id) AS rn
+           FROM scored)
+SELECT vec_id, centroid_id FROM ranked WHERE rn = 1
+""",
+)
+def ann_ivf_assign(spark, sf_dir):
+    """IVF coarse quantiser: nearest of 8 seed centroids per vector
+    (broadcast argmax — the ANN partition-assignment step)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cv")
+    )
+    return ann.ivf_assign(emb, centroids)
+
+
+@q(
+    "tiles_for_z_quirk",
+    f"""
+WITH {PTS_CTE},
+t AS (SELECT DISTINCT {_sql_tile_x('lon', 11)} AS x, {_sql_tile_y('lat', 11)} AS y FROM pts)
+SELECT x, y,
+       x * 7 AS strict_x, y * 7 AS strict_y,     -- abs(18-11)=7 quirk scale
+       x * 128 AS fixed_x, y * 128 AS fixed_y    -- 2^(18-11) correct scale
+FROM t
+""",
+)
+def tiles_for_z_quirk(spark, sf_dir):
+    """C3 — getTilesForZ's abs-difference zoom rescale
+    (SpatialDataStore.java:218-252) vs the power-of-two fix, as columns."""
+    p = _points(spark, sf_dir)
+    t = p.select(
+        tile_x_col(F.col("lon"), 11).alias("x"), tile_y_col(F.col("lat"), 11).alias("y")
+    ).distinct()
+    return t.select(
+        "x", "y",
+        (F.col("x") * 7).alias("strict_x"), (F.col("y") * 7).alias("strict_y"),
+        (F.col("x") * 128).alias("fixed_x"), (F.col("y") * 128).alias("fixed_y"),
+    )
+
+
 # ========================= rows-only pipeline entries ======================
 # The real image pipeline on the input_hint-shaped table: deterministic
 # synthetic city (datagen), exact-match-tested against the pure-Python
