@@ -91,7 +91,8 @@ def main():
     bench_queries = [
         "tpch_q1", "tpch_q3", "tpch_q5", "cell_join", "knn_join", "pip_assign",
         "speed_histogram", "summary_stats", "sessionize", "asof_join",
-        "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "ann_topk",
+        "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_simhash_pairs",
+        "dedup_embedding_lsh", "ann_topk", "ann_lsh_topk",
         "text_quality", "text_fingerprint",
     ]
     for name in bench_queries:

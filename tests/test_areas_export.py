@@ -57,6 +57,11 @@ def test_geojson_export(spark, spark_network, tmp_path):
     assert loaded.count() == segs.count()
     one = json.loads(loaded.first().value)
     assert one["properties"]["segment_id"]
+    # valid GeoJSON: every position is a 2-element [lon, lat] ARRAY of
+    # floats, not an {"lons":…,"lats":…} object (RFC 7946 §3.1.1)
+    pos = one["geometry"]["coordinates"][0]
+    assert isinstance(pos, list) and len(pos) == 2
+    assert all(isinstance(v, float) for v in pos)
 
 
 def test_welch_t_crit_lookup(spark):
@@ -76,3 +81,31 @@ def test_welch_t_crit_lookup(spark):
     # negative t ⇒ always true (reference quirk, reproduced)
     out2 = S.welch_t_test(s2, s1).toPandas().iloc[0]
     assert out2["t_stat"] < 0 and bool(out2["significant"])
+    # differenceAsPercent: (mean1-mean2)/mean1 as a FRACTION
+    # (SummaryStatisticsComparison.java:90-95)
+    assert abs(out["pct_diff"] - (12.0 - 9.0) / 12.0) < 1e-12
+
+
+def test_welch_strict_parity_sd1_substitution_scope(spark):
+    """strict_parity reproduces the combinedStdDev bug EXACTLY as scoped in
+    the reference (SummaryStatisticsComparison.java:117-121): sd1 replaces
+    sd2 only in the combined-stddev numerator (still divided by n2); tCrit
+    (:173-177) uses the true sd2 and n2."""
+    import math
+
+    s1 = spark.createDataFrame(
+        pd.DataFrame({"segment_id": [1], "count": [10.0], "mean_ms": [12.0], "stddev_ms": [2.0]})
+    )
+    s2 = spark.createDataFrame(
+        pd.DataFrame({"segment_id": [1], "count": [20.0], "mean_ms": [9.0], "stddev_ms": [5.0]})
+    )
+    strict = S.welch_t_test(s1, s2, strict_parity=True).toPandas().iloc[0]
+    fixed = S.welch_t_test(s1, s2, strict_parity=False).toPandas().iloc[0]
+    # strict combined stddev: sqrt(sd1²/n1 + sd1²/n2) — n2 stays n2
+    assert abs(strict["combined_stddev"] - math.sqrt(4.0 / 10 + 4.0 / 20)) < 1e-12
+    assert abs(fixed["combined_stddev"] - math.sqrt(4.0 / 10 + 25.0 / 20)) < 1e-12
+    # df / t_crit from the TRUE sd2, n2 in both modes → identical
+    v1, v2 = 4.0 / 10, 25.0 / 20
+    df_true = (v1 + v2) ** 2 / (v1**2 / 9 + v2**2 / 19)
+    assert abs(strict["df"] - df_true) < 1e-9
+    assert strict["t_crit"] == fixed["t_crit"]

@@ -104,6 +104,37 @@ def test_haversine_and_destination_roundtrip():
     assert abs(back - 1000.0) < 1e-6
 
 
+def test_vincenty_published_line():
+    """WGS84 Vincenty vs the published Geoscience Australia test line
+    (Flinders Peak → Buninyong: s = 54 972.271 m, α1 = 306°52′05.37″) —
+    the same ellipsoidal problem geotools GeodeticCalculator solves
+    (OSMDataStore.java:622-628)."""
+    lat1 = -(37 + 57 / 60 + 3.72030 / 3600)
+    lon1 = 144 + 25 / 60 + 29.52440 / 3600
+    lat2 = -(37 + 39 / 60 + 10.15610 / 3600)
+    lon2 = 143 + 55 / 60 + 35.38390 / 3600
+    d, az = geodesy.vincenty_inverse(lon1, lat1, lon2, lat2)
+    assert abs(float(d) - 54972.271) < 5e-4
+    assert abs(float(az) % 360 - (306 + 52 / 60 + 5.37 / 3600)) < 1e-5
+    # direct(inverse) roundtrip closes to sub-micron
+    lon3, lat3 = geodesy.vincenty_direct(lon1, lat1, float(az), float(d))
+    assert float(geodesy.vincenty_inverse(lon3, lat3, lon2, lat2)[0]) < 1e-6
+
+
+def test_vincenty_vs_sphere_magnitude():
+    """The ellipsoidal correction at mid-latitudes is ~0.2% — the reason
+    round 1's haversine could misplace triplines near thresholds."""
+    d_w = float(geodesy.geo_distance_m(-122.0, 37.0, -121.9, 37.05, "wgs84"))
+    d_s = float(geodesy.geo_distance_m(-122.0, 37.0, -121.9, 37.05, "sphere"))
+    assert abs(d_w - d_s) / d_w < 0.005
+    assert d_w != d_s
+    # destination respects the requested geodesic distance in both modes
+    for mode in ("wgs84", "sphere"):
+        lon2, lat2 = geodesy.geo_destination_point(-122.0, 37.0, 37.0, 500.0, mode)
+        back = float(geodesy.geo_distance_m(-122.0, 37.0, float(lon2), float(lat2), mode))
+        assert abs(back - 500.0) < 1e-6
+
+
 def test_clamp_azimuth():
     assert geodesy.clamp_azimuth(190.0) == -170.0
     assert geodesy.clamp_azimuth(-190.0) == 170.0

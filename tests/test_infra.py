@@ -88,9 +88,21 @@ def test_repartition_by_morton_orders_spatially(spark, images_pd):
         assert a.hi <= b.lo
 
 
-def test_streaming_kernel_matches_batch(spark, spark_network, fixes, images_pd, oracle_net):
-    """The applyInPandasWithState kernel on a rate-limited stream must emit
-    exactly the batch pipeline's speed samples."""
+def _batch_samples(spark, spark_network, images_pd):
+    segs, tls, jumpers_pd = spark_network
+    images = spark.createDataFrame(images_pd)
+    return (
+        M.speed_samples(spark, M.find_crossings(M.pair_fixes(M.decode_fixes(images)),
+                                                M.tripline_cell_index(tls)), segs, jumpers_pd)
+        .toPandas()
+    )
+
+
+def _run_stream(spark, spark_network, images_pd, qname, n_slices=1, expected_rows=None):
+    """Run the streaming kernel over the fixes, optionally split into
+    n_slices time-ordered parquet files consumed one per microbatch
+    (maxFilesPerTrigger=1) so per-trace state — pending crossings included —
+    must round-trip through the GroupState schema between batches."""
     import tempfile
 
     from traffic_engine_spark.streaming.match_stream import (
@@ -100,35 +112,117 @@ def test_streaming_kernel_matches_batch(spark, spark_network, fixes, images_pd, 
 
     segs, tls, jumpers_pd = spark_network
     dicts = network_to_dicts(segs.toPandas(), tls.toPandas(), jumpers_pd)
-
-    images = spark.createDataFrame(images_pd)
-    batch_samples = (
-        M.speed_samples(spark, M.find_crossings(M.pair_fixes(M.decode_fixes(images)),
-                                                M.tripline_cell_index(tls)), segs, jumpers_pd)
-        .toPandas()
-    )
+    fixes_pd = M.decode_fixes(spark.createDataFrame(images_pd)).toPandas()
 
     with tempfile.TemporaryDirectory(ignore_cleanup_errors=True) as d:
         src = os.path.join(d, "src")
         os.makedirs(src)
-        M.decode_fixes(images).write.mode("overwrite").parquet(src)
-        fixes_stream = spark.readStream.schema(
+        if n_slices == 1:
+            spark.createDataFrame(fixes_pd).write.mode("overwrite").parquet(src)
+        else:
+            cuts = fixes_pd["ts"].quantile(
+                [i / n_slices for i in range(1, n_slices)]
+            ).tolist()
+            bounds = [-float("inf")] + cuts + [float("inf")]
+            for i, (lo, hi) in enumerate(zip(bounds, bounds[1:])):
+                part = fixes_pd[(fixes_pd.ts > lo) & (fixes_pd.ts <= hi)]
+                path = os.path.join(src, f"slice_{i:03d}.parquet")
+                part.to_parquet(path, index=False)
+                # FileStreamSource orders by mod time: make it match slice order
+                os.utime(path, (1_000_000 + i, 1_000_000 + i))
+        reader = spark.readStream.schema(
             "image_id string, trace_id long, ts long, lat double, lon double"
-        ).parquet(src)
+        )
+        if n_slices > 1:
+            # one time-slice file per microbatch ⇒ state must round-trip
+            reader = reader.option("maxFilesPerTrigger", 1)
+        fixes_stream = reader.parquet(src)
         out = stream_speed_samples(fixes_stream, dicts)
         q = (
-            out.writeStream.format("memory").queryName("stream_samples")
+            out.writeStream.format("memory").queryName(qname)
             .outputMode("append").option("checkpointLocation", os.path.join(d, "ck"))
             .trigger(availableNow=True).start()
         )
-        q.awaitTermination(180)
-        q.stop()
-        got = spark.sql("select * from stream_samples").toPandas()
+        # poll the sink instead of a fixed awaitTermination: the
+        # availableNow + applyInPandasWithState query can linger after the
+        # last batch commits, and a blind long wait dominates suite time
+        import time as _time
 
+        deadline = _time.time() + 300
+        while _time.time() < deadline:
+            if not q.isActive:
+                break
+            n = spark.sql(f"select count(*) c from {qname}").first().c
+            if expected_rows is not None and n >= expected_rows and not q.status["isDataAvailable"]:
+                break
+            _time.sleep(2)
+        q.stop()
+        return spark.sql(f"select * from {qname}").toPandas()
+
+
+def _assert_samples_equal(batch_samples, got):
     key = ["trace_id", "segment_id", "time", "speed", "source"]
     a = batch_samples[key].sort_values(key).reset_index(drop=True)
     b = got[key].sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()), check_exact=True)
+
+
+def test_streaming_kernel_matches_batch(spark, spark_network, images_pd):
+    """The applyInPandasWithState kernel on a single-batch stream must emit
+    exactly the batch pipeline's speed samples."""
+    batch = _batch_samples(spark, spark_network, images_pd)
+    got = _run_stream(spark, spark_network, images_pd, "stream_samples",
+                      n_slices=1, expected_rows=len(batch))
+    _assert_samples_equal(batch, got)
+
+
+def test_streaming_multi_microbatch_matches_batch(spark, spark_network, images_pd):
+    """Cross-microbatch state round-trip parity: 4 time slices, one file per
+    trigger, so mid-trace pending crossings (60-bit md5 ids that would be
+    corrupted by a float64 state encoding) and last_segment must survive the
+    GroupState serialize/deserialize between microbatches."""
+    batch = _batch_samples(spark, spark_network, images_pd)
+    got = _run_stream(spark, spark_network, images_pd, "stream_samples_mb",
+                      n_slices=4, expected_rows=len(batch))
+    assert len(got) == len(batch) > 0
+    _assert_samples_equal(batch, got)
+
+
+def test_planet_mode_pipeline_identical_no_collect(spark, spark_network, images_pd, monkeypatch):
+    """cfg.planet_scale must (a) produce bit-identical speed samples and
+    (b) never .collect() O(network) data to the driver — asserted by
+    poisoning DataFrame.collect for the duration of the planet run."""
+    from pyspark.sql import DataFrame as SparkDF
+
+    from traffic_engine_spark.config import EngineConfig
+
+    segs, tls, jumpers_pd = spark_network
+    images = spark.createDataFrame(images_pd)
+
+    base_cfg = EngineConfig()
+    _, samples_dict = M.run_pipeline(spark, images, tls, segs, jumpers_pd, base_cfg)
+    a = samples_dict.toPandas()
+
+    planet_cfg = EngineConfig(planet_scale=True)
+    orig_collect = SparkDF.collect
+
+    def poisoned(self, *args, **kwargs):
+        raise AssertionError("planet_scale path must not collect() to the driver")
+
+    monkeypatch.setattr(SparkDF, "collect", poisoned)
+    try:
+        _, samples_planet = M.run_pipeline(spark, images, tls, segs, jumpers_pd, planet_cfg)
+        plan = samples_planet._jdf.queryExecution().executedPlan().toString()
+    finally:
+        monkeypatch.setattr(SparkDF, "collect", orig_collect)
+    b = samples_planet.toPandas()
+
+    key = ["trace_id", "segment_id", "time", "speed", "source"]
+    a = a[key].sort_values(key).reset_index(drop=True)
+    b = b[key].sort_values(key).reset_index(drop=True)
+    assert len(a) > 0
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
+    assert "MapInPandas" in plan  # still exactly one Python stage
 
 
 def test_pip_winding_matches_convex_on_convex_polygons(spark, images_pd):
@@ -161,6 +255,95 @@ def test_knn_cells_matches_broadcast(spark, images_pd):
     b = cells.sort_values(key).reset_index(drop=True)
     # ring=2 at z11 covers the whole city ⇒ exact agreement
     pd.testing.assert_frame_equal(a, b, check_exact=True)
+
+
+def test_embedding_lsh_recall_vs_brute(spark):
+    """The LSH-bucketed near-dup path must be a SUBSET of the brute-force
+    pairs (same cosine values) with high recall on the test embeddings —
+    brute force is the yardstick, LSH is the registered scale path."""
+    from traffic_engine_spark.operators import dedup as D
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    brute = D.embedding_cosine_pairs(emb, min_cosine=0.3).toPandas()
+    lsh = D.embedding_lsh_pairs(emb, min_cosine=0.3).toPandas()
+    bset = {(a, b): c for a, b, c in brute.itertuples(index=False)}
+    lset = {(a, b): c for a, b, c in lsh.itertuples(index=False)}
+    assert set(lset) <= set(bset)  # no false positives (exact verify)
+    for k, v in lset.items():
+        assert v == bset[k]  # identical cosine values
+    recall = len(lset) / max(len(bset), 1)
+    assert recall >= 0.5, f"LSH recall {recall:.2f} too low for 8 planes"
+
+
+def test_simhash_pairs_pigeonhole_complete(spark):
+    """Banding with n_bands > max_hamming finds EVERY pair within the
+    Hamming budget — verified against an all-pairs scan."""
+    from traffic_engine_spark.operators import dedup as D
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sig = D.simhash(docs).toPandas()
+    got = D.simhash_pairs(docs, max_hamming=3).toPandas()
+    want = set()
+    rows = list(sig.itertuples(index=False))
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            a, b = rows[i], rows[j]
+            hd = bin(int(a.simhash) ^ int(b.simhash)).count("1")
+            if hd <= 3:
+                x, y = sorted((int(a.doc_id), int(b.doc_id)))
+                want.add((x, y, hd))
+    assert {(int(r.doc_a), int(r.doc_b), int(r.hamming)) for r in got.itertuples()} == want
+
+
+def test_jumpers_sharded_matches_global(spark, spark_network):
+    """The component-sharded J5 fold (planet path, zero driver folds) must
+    reproduce the global deterministic fold exactly — merges only occur
+    within node-connected chains, so sharding by connected component
+    preserves reference semantics bit-for-bit."""
+    segs, _, jumpers_global = spark_network
+    sharded = N.build_jumpers_sharded(spark, segs).toPandas()
+    key = ["start_node_id", "end_node_id"]
+    a = jumpers_global.copy()
+    b = sharded.copy()
+    for df in (a, b):
+        df["segment_ids"] = df["segment_ids"].apply(tuple)
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b[a.columns].sort_values(key).reset_index(drop=True)
+    assert len(a) > 5  # fixture exercises jumper chains incl. merges
+    pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()), check_exact=True)
+
+
+def test_snapshot_store_merge_and_time_travel(spark, tmp_path, spark_network):
+    """Iceberg-shaped store: MERGE-insert-if-absent on the logical key
+    (StreetDataStore.java:35-44 — existing row wins), numbered snapshots,
+    snapshot-pinned reads, no-op merges commit nothing."""
+    from traffic_engine_spark.sources.store import SnapshotStore
+
+    segs, _, _ = spark_network
+    store = SnapshotStore(spark, str(tmp_path / "streets"), ["segment_id"])
+
+    first = segs.limit(10)
+    s0 = store.merge_insert_if_absent(first)
+    assert s0["snapshot_id"] == 0 and s0["added_rows"] == 10
+
+    # overlapping second batch: only genuinely-new keys insert
+    second = segs.limit(25).withColumn("street_type", F.lit(99))
+    s1 = store.merge_insert_if_absent(second)
+    assert s1["snapshot_id"] == 1 and s1["added_rows"] == 15
+    cur = store.read().toPandas()
+    assert len(cur) == 25
+    # the 10 pre-existing rows kept their ORIGINAL street_type (stored wins)
+    orig = {int(r.segment_id) for r in first.select("segment_id").collect()}
+    kept = cur[cur.segment_id.isin(orig)]
+    assert (kept.street_type != 99).all()
+
+    # idempotent re-merge = no new snapshot
+    s2 = store.merge_insert_if_absent(second)
+    assert s2["operation"] == "merge-noop" and store.current_snapshot_id() == 1
+
+    # time travel: snapshot 0 still reads the 10-row state
+    assert store.read(snapshot_id=0).count() == 10
+    assert [s["snapshot_id"] for s in store.snapshots()] == [0, 1]
 
 
 def test_asof_join_operator(spark):

@@ -77,6 +77,87 @@ def test_samples_exact_including_float_speeds(engine_outputs, oracle_outputs):
     _assert_same(pd.DataFrame(osamp)[key], esamp, key)
 
 
+_TZ_POLYS = pd.DataFrame(
+    [
+        # covers the whole synthetic city (both z11 tiles)
+        {"poly_id": 0, "lons": [-123.0, -121.8, -121.8, -123.0], "lats": [37.0, 37.0, 38.5, 38.5]},
+        # a second zone elsewhere — must not capture any city tile
+        {"poly_id": 1, "lons": [10.0, 11.0, 11.0, 10.0], "lats": [50.0, 50.0, 51.0, 51.0]},
+    ]
+)
+_TZ_OFFSETS = {0: -25_200_000, 1: 3_600_000}  # UTC-7 / UTC+1 raw offsets
+
+
+def test_tz_offset_localtime_parity(spark, spark_network, images_pd, oracle_net, fixes):
+    """C13 end-to-end: per-z11-area zone offsets (Vehicle.java:96-102 +
+    OSMDataStore.java:412) wired through the pipeline, engine == oracle
+    exactly, and hour-of-week binning actually shifts."""
+    segs, tls, jumpers_pd = spark_network
+    images_sdf = spark.createDataFrame(images_pd)
+    _, samples = M.run_pipeline(
+        spark, images_sdf, tls, segs, jumpers_pd,
+        tz_polygons_pd=_TZ_POLYS, tz_offsets_ms=_TZ_OFFSETS,
+    )
+    esamp = samples.toPandas()
+
+    tile_off = O.tile_zone_offsets(fixes, _TZ_POLYS, _TZ_OFFSETS)
+    assert set(tile_off.values()) == {-25_200_000}  # city straddles 2 tiles, one tz
+    assert len(tile_off) >= 2
+    _, osamp = O.process_traces(fixes, oracle_net, tile_offsets=tile_off)
+    key = ["trace_id", "segment_id", "time", "speed", "source"]
+    assert len(osamp) > 20
+    _assert_same(pd.DataFrame(osamp)[key], esamp, key)
+
+    # the offset must shift every sample time by exactly the raw offset
+    _, outc = O.process_traces(fixes, oracle_net)
+    t_loc = sorted(s["time"] for s in osamp)
+    t_utc = sorted(s["time"] for s in outc)
+    assert all(a - b == -25_200_000 for a, b in zip(t_loc, t_utc))
+
+
+def test_area_zone_offsets_dim(spark, spark_network, images_pd):
+    """The offset dim resolves each z11 area independently: a polygon
+    covering only the west tile leaves the east tile at offset 0
+    (TimeConverter null-zone fallthrough)."""
+    west_only = pd.DataFrame(
+        [{"poly_id": 0,
+          "lons": [-123.0, -122.16796875, -122.16796875, -123.0],
+          "lats": [37.0, 37.0, 38.5, 38.5]}]
+    )
+    images_sdf = spark.createDataFrame(images_pd)
+    fixes_df = M.decode_fixes(images_sdf)
+    dim = M.area_zone_offsets(fixes_df, west_only, {0: 3_600_000}).toPandas()
+    assert len(dim) >= 2
+    offs = {(int(r.ax), int(r.ay)): int(r.zone_offset_ms) for r in dim.itertuples()}
+    assert 3_600_000 in offs.values() and 0 in offs.values()
+    # and it matches the oracle's dim exactly
+    odim = O.tile_zone_offsets(
+        M.decode_fixes(images_sdf).toPandas(), west_only, {0: 3_600_000}
+    )
+    assert offs == odim
+
+
+def test_offmap_traces_exact(spark, spark_network, images_pd, oracle_net, oracle_outputs, fixes):
+    """OffMapTrace parity: the engine's declarative gap plan must emit
+    exactly the oracle's off-map polylines (ids, windows, coords)."""
+    segs, tls, jumpers_pd = spark_network
+    images_sdf = spark.createDataFrame(images_pd)
+    crossings, samples = M.run_pipeline(spark, images_sdf, tls, segs, jumpers_pd)
+    eng = M.offmap_traces(
+        spark, samples, segs, jumpers_pd, M.decode_fixes(images_sdf)
+    ).toPandas()
+    _, osamp = oracle_outputs
+    ora = pd.DataFrame(O.offmap_traces(osamp, oracle_net, fixes))
+    assert len(ora) > 0  # fixture exercises off-map gaps
+    for df in (eng, ora):
+        df["lons"] = df["lons"].apply(tuple)
+        df["lats"] = df["lats"].apply(tuple)
+    key = ["offmap_id"]
+    _assert_same(ora, eng, key)
+    # at least one gap carries a non-empty polyline
+    assert any(len(t) > 0 for t in ora["lons"])
+
+
 def test_histograms_exact(spark, engine_outputs, oracle_outputs):
     _, esamp, _ = engine_outputs
     _, osamp = oracle_outputs

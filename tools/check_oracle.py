@@ -76,6 +76,21 @@ def main():
             failures.append(name)
             print(f"FAIL  {name}: rows {len(a)} vs {len(b)}")
             continue
+        # the driver hashes values as-is: an int64 Spark column vs a
+        # HUGEINT/float DuckDB column hash-mismatches even when the values
+        # coerce equal, so a dtype-KIND mismatch must fail here too.
+        def _kind(dt):
+            k = dt.kind
+            return "i" if k in "iu" else k
+        kind_bad = [
+            (c, str(a[c].dtype), str(b[c].dtype))
+            for c in a.columns
+            if _kind(a[c].dtype) != _kind(b[c].dtype)
+        ]
+        if kind_bad:
+            failures.append(name)
+            print(f"FAIL  {name}: dtype kind mismatch {kind_bad}")
+            continue
         try:
             pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()), check_exact=False, rtol=0, atol=1e-9)
             print(f"OK    {name}: {len(a)} rows")

@@ -52,11 +52,12 @@ SEC_TO_MS_THRESHOLD = 15_000_000_000         # (geom/GPSPoint.java:28)
 ID_COUNTER_START = 1_000_000_000
 
 # --- geodesy ---------------------------------------------------------------
-# The reference uses geotools GeodeticCalculator (WGS84 ellipsoid,
-# osm/OSMDataStore.java:622-628).  This engine standardises on spherical
-# great-circle math with the WGS84 mean radius; the pytest oracle uses the
-# *identical* numpy code (functions/geodesy.py), so engine↔oracle parity is
-# exact.  Documented deviation from geotools: <0.5% on distances.
+# The reference uses geotools GeodeticCalculator (WGS84 ellipsoid, Vincenty,
+# osm/OSMDataStore.java:622-628).  EngineConfig.geodesy selects the mode:
+# "wgs84" (default — vectorised Vincenty, geotools parity) or "sphere"
+# (haversine on the WGS84 mean radius, the round-1 behaviour).  The pytest
+# oracle uses the *identical* numpy code (functions/geodesy.py), so
+# engine↔oracle parity is exact by construction in either mode.
 EARTH_RADIUS_M = 6_371_008.8
 BEARING_EPSILON_DEG = 0.000009      # two-point probe   (osm/OSMDataStore.java:641)
 
@@ -66,6 +67,7 @@ class EngineConfig:
     """Runtime knobs for the Spark engine."""
 
     strict_parity: bool = True       # reproduce reference quirks (SURVEY §7.4)
+    geodesy: str = "wgs84"           # "wgs84" (geotools/Vincenty parity) | "sphere"
     convert_to_localtime: bool = True  # GPSPoint.convertToLocaltime (GPSPoint.java:22)
     apply_anonymity_gate: bool = False  # MINIMUM_VEHICLE_COUNT cell gating (W3)
     shuffle_partitions: int = 32
@@ -75,6 +77,12 @@ class EngineConfig:
     salt_buckets: int = 8
     # Column-pruning guard: never carry `bytes` through shuffles (SURVEY §7.4.5)
     carry_payload: bool = False
+    # Planet-scale mode: no O(network) driver collects anywhere — segment
+    # attrs ride the crossing rows (one extra equi-join, wider Arrow
+    # boundary) instead of driver-built broadcast dicts.  Default False:
+    # at city scale the 3-column Arrow boundary + tiny dicts is ~3× faster
+    # (BENCH.md), and both paths are output-identical (test_infra).
+    planet_scale: bool = False
 
 
 DEFAULT_CONFIG = EngineConfig()

@@ -1,17 +1,22 @@
-"""Vectorised spherical geodesy — the single source of truth for distance,
-bearing, destination-point and linear-referencing math.
+"""Vectorised geodesy — the single source of truth for distance, bearing,
+destination-point and linear-referencing math.
 
-The reference delegates to geotools' GeodeticCalculator (WGS84 ellipsoid):
+The reference delegates to geotools' GeodeticCalculator (WGS84 ellipsoid,
+Vincenty's formulas):
   * distance      — osm/OSMDataStore.java:622-628 (getOrthodromicDistance)
   * azimuth probe — osm/OSMDataStore.java:640-662 (getBearing, ε=9e-6)
   * destination   — osm/OSMDataStore.java:594-612 (createTripLine, ±90°, 10 m)
   * azimuth clamp — osm/OSMDataStore.java:669-679
 
-This engine standardises on great-circle (haversine) math with the WGS84
-mean radius (documented deviation <0.5%; config.py).  The pytest oracle
-imports *these same functions*, so engine↔oracle parity is exact by
-construction.  Everything is numpy-vectorised; used from datagen, the
-oracle, and inside Arrow-batched pandas UDFs (never per-row Python).
+The default mode is therefore "wgs84": vectorised Vincenty inverse/direct
+(T. Vincenty, Survey Review XXIII(176), 1975 — the same public algorithm
+geotools implements), verified against the paper's published test line in
+tests/test_functions.py.  "sphere" (haversine on the WGS84 mean radius)
+remains available behind EngineConfig.geodesy for speed-insensitive
+comparisons.  The pytest oracle imports *these same functions*, so
+engine↔oracle parity is exact by construction.  Everything is
+numpy-vectorised; used from datagen, the oracle, and inside Arrow-batched
+pandas UDFs (never per-row Python).
 """
 
 from __future__ import annotations
@@ -19,6 +24,132 @@ from __future__ import annotations
 import numpy as np
 
 from ..config import BEARING_EPSILON_DEG, EARTH_RADIUS_M
+
+# WGS84 ellipsoid (geotools DefaultEllipsoid.WGS84)
+WGS84_A = 6_378_137.0
+WGS84_F = 1.0 / 298.257223563
+WGS84_B = WGS84_A * (1.0 - WGS84_F)
+
+
+def vincenty_inverse(lon1, lat1, lon2, lat2, iterations: int = 50, tol: float = 1e-13):
+    """Vincenty inverse problem on WGS84, vectorised: returns
+    (distance_m, initial_azimuth_deg in (-180, 180]).  Coincident points
+    return (0, 0).  Near-antipodal non-convergence falls back to the last
+    iterate (the reference never measures antipodal pairs — street segments
+    and GPS pairs are city-scale)."""
+    lon1, lat1, lon2, lat2 = (
+        np.asarray(a, dtype=np.float64) for a in (lon1, lat1, lon2, lat2)
+    )
+    f = WGS84_F
+    U1 = np.arctan((1 - f) * np.tan(np.radians(lat1)))
+    U2 = np.arctan((1 - f) * np.tan(np.radians(lat2)))
+    L = np.radians(lon2 - lon1)
+    sinU1, cosU1 = np.sin(U1), np.cos(U1)
+    sinU2, cosU2 = np.sin(U2), np.cos(U2)
+
+    lam = L.copy()
+    sin_sig = np.zeros_like(lam)
+    cos_sig = np.ones_like(lam)
+    sigma = np.zeros_like(lam)
+    cos2_alpha = np.ones_like(lam)
+    cos_2sigm = np.ones_like(lam)
+    active = np.ones(lam.shape, dtype=bool)
+    for _ in range(iterations):
+        sin_lam, cos_lam = np.sin(lam), np.cos(lam)
+        t1 = cosU2 * sin_lam
+        t2 = cosU1 * sinU2 - sinU1 * cosU2 * cos_lam
+        sin_sig = np.where(active, np.sqrt(t1 * t1 + t2 * t2), sin_sig)
+        cos_sig = np.where(active, sinU1 * sinU2 + cosU1 * cosU2 * cos_lam, cos_sig)
+        sigma = np.where(active, np.arctan2(sin_sig, cos_sig), sigma)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sin_alpha = np.where(sin_sig != 0, cosU1 * cosU2 * sin_lam / sin_sig, 0.0)
+        c2a = 1.0 - sin_alpha * sin_alpha
+        with np.errstate(divide="ignore", invalid="ignore"):
+            c2sm = np.where(c2a != 0, cos_sig - 2.0 * sinU1 * sinU2 / c2a, 0.0)
+        cos2_alpha = np.where(active, c2a, cos2_alpha)
+        cos_2sigm = np.where(active, c2sm, cos_2sigm)
+        C = f / 16.0 * c2a * (4.0 + f * (4.0 - 3.0 * c2a))
+        lam_new = L + (1.0 - C) * f * sin_alpha * (
+            sigma + C * sin_sig * (c2sm + C * cos_sig * (-1.0 + 2.0 * c2sm * c2sm))
+        )
+        delta = np.abs(lam_new - lam)
+        lam = np.where(active, lam_new, lam)
+        active = active & (delta > tol)
+        if not active.any():
+            break
+
+    u2 = cos2_alpha * (WGS84_A * WGS84_A - WGS84_B * WGS84_B) / (WGS84_B * WGS84_B)
+    A = 1.0 + u2 / 16384.0 * (4096.0 + u2 * (-768.0 + u2 * (320.0 - 175.0 * u2)))
+    B = u2 / 1024.0 * (256.0 + u2 * (-128.0 + u2 * (74.0 - 47.0 * u2)))
+    dsig = B * sin_sig * (
+        cos_2sigm
+        + B / 4.0 * (
+            cos_sig * (-1.0 + 2.0 * cos_2sigm * cos_2sigm)
+            - B / 6.0 * cos_2sigm
+            * (-3.0 + 4.0 * sin_sig * sin_sig)
+            * (-3.0 + 4.0 * cos_2sigm * cos_2sigm)
+        )
+    )
+    dist = WGS84_B * A * (sigma - dsig)
+    az = np.degrees(
+        np.arctan2(cosU2 * np.sin(lam), cosU1 * sinU2 - sinU1 * cosU2 * np.cos(lam))
+    )
+    same = (lon1 == lon2) & (lat1 == lat2)
+    return np.where(same, 0.0, dist), np.where(same, 0.0, az)
+
+
+def vincenty_direct(lon, lat, azimuth_deg, dist_m, iterations: int = 50, tol: float = 1e-13):
+    """Vincenty direct problem on WGS84, vectorised: destination (lon, lat)
+    from start + initial azimuth + geodesic distance."""
+    lon, lat, azimuth_deg, dist_m = (
+        np.asarray(a, dtype=np.float64) for a in (lon, lat, azimuth_deg, dist_m)
+    )
+    f = WGS84_F
+    alpha1 = np.radians(azimuth_deg)
+    sin_a1, cos_a1 = np.sin(alpha1), np.cos(alpha1)
+    tanU1 = (1 - f) * np.tan(np.radians(lat))
+    cosU1 = 1.0 / np.sqrt(1.0 + tanU1 * tanU1)
+    sinU1 = tanU1 * cosU1
+    sigma1 = np.arctan2(tanU1, cos_a1)
+    sin_alpha = cosU1 * sin_a1
+    cos2_alpha = 1.0 - sin_alpha * sin_alpha
+    u2 = cos2_alpha * (WGS84_A * WGS84_A - WGS84_B * WGS84_B) / (WGS84_B * WGS84_B)
+    A = 1.0 + u2 / 16384.0 * (4096.0 + u2 * (-768.0 + u2 * (320.0 - 175.0 * u2)))
+    B = u2 / 1024.0 * (256.0 + u2 * (-128.0 + u2 * (74.0 - 47.0 * u2)))
+
+    sigma = dist_m / (WGS84_B * A)
+    sigma = np.broadcast_to(sigma, np.broadcast(lon, lat, azimuth_deg, dist_m).shape).copy()
+    cos_2sigm = np.cos(2.0 * sigma1 + sigma)
+    for _ in range(iterations):
+        cos_2sigm = np.cos(2.0 * sigma1 + sigma)
+        sin_sig, cos_sig = np.sin(sigma), np.cos(sigma)
+        dsig = B * sin_sig * (
+            cos_2sigm
+            + B / 4.0 * (
+                cos_sig * (-1.0 + 2.0 * cos_2sigm * cos_2sigm)
+                - B / 6.0 * cos_2sigm
+                * (-3.0 + 4.0 * sin_sig * sin_sig)
+                * (-3.0 + 4.0 * cos_2sigm * cos_2sigm)
+            )
+        )
+        sigma_new = dist_m / (WGS84_B * A) + dsig
+        if np.all(np.abs(sigma_new - sigma) <= tol):
+            sigma = sigma_new
+            break
+        sigma = sigma_new
+    sin_sig, cos_sig = np.sin(sigma), np.cos(sigma)
+    cos_2sigm = np.cos(2.0 * sigma1 + sigma)
+    tmp = sinU1 * sin_sig - cosU1 * cos_sig * cos_a1
+    lat2 = np.arctan2(
+        sinU1 * cos_sig + cosU1 * sin_sig * cos_a1,
+        (1 - f) * np.sqrt(sin_alpha * sin_alpha + tmp * tmp),
+    )
+    lam = np.arctan2(sin_sig * sin_a1, cosU1 * cos_sig - sinU1 * sin_sig * cos_a1)
+    C = f / 16.0 * cos2_alpha * (4.0 + f * (4.0 - 3.0 * cos2_alpha))
+    L = lam - (1.0 - C) * f * sin_alpha * (
+        sigma + C * sin_sig * (cos_2sigm + C * cos_sig * (-1.0 + 2.0 * cos_2sigm * cos_2sigm))
+    )
+    return np.degrees(np.radians(lon) + L), np.degrees(lat2)
 
 
 def haversine_m(lon1, lat1, lon2, lat2) -> np.ndarray:
@@ -56,6 +187,30 @@ def destination_point(lon, lat, bearing_deg, dist_m):
         np.cos(dr) - np.sin(p1) * np.sin(p2),
     )
     return np.degrees(l2), np.degrees(p2)
+
+
+# ---------------------------------------------------------------------------
+# mode dispatch — EngineConfig.geodesy: "wgs84" (default, geotools parity)
+# or "sphere" (haversine; the round-1 documented deviation, kept as a flag)
+# ---------------------------------------------------------------------------
+
+
+def geo_distance_m(lon1, lat1, lon2, lat2, mode: str = "wgs84"):
+    if mode == "wgs84":
+        return vincenty_inverse(lon1, lat1, lon2, lat2)[0]
+    return haversine_m(lon1, lat1, lon2, lat2)
+
+
+def geo_initial_bearing_deg(lon1, lat1, lon2, lat2, mode: str = "wgs84"):
+    if mode == "wgs84":
+        return vincenty_inverse(lon1, lat1, lon2, lat2)[1]
+    return initial_bearing_deg(lon1, lat1, lon2, lat2)
+
+
+def geo_destination_point(lon, lat, bearing_deg, dist_m, mode: str = "wgs84"):
+    if mode == "wgs84":
+        return vincenty_direct(lon, lat, bearing_deg, dist_m)
+    return destination_point(lon, lat, bearing_deg, dist_m)
 
 
 def clamp_azimuth(d):
@@ -99,8 +254,10 @@ def extract_point(lons: np.ndarray, lats: np.ndarray, index: float) -> tuple[flo
     )
 
 
-def bearing_at_index(lons: np.ndarray, lats: np.ndarray, index: float) -> float:
-    """Two-point ε-probe bearing; mirrors OSMDataStore.getBearing:640-662."""
+def bearing_at_index(lons: np.ndarray, lats: np.ndarray, index: float,
+                     mode: str = "wgs84") -> float:
+    """Two-point ε-probe bearing; mirrors OSMDataStore.getBearing:640-662
+    (gc.getAzimuth on the ε-separated probe points)."""
     cum = planar_lengths(lons, lats)
     start, end = 0.0, float(cum[-1])
     eps = BEARING_EPSILON_DEG
@@ -112,14 +269,14 @@ def bearing_at_index(lons: np.ndarray, lats: np.ndarray, index: float) -> float:
         i0, i1 = index - eps / 2.0, index + eps / 2.0
     x0, y0 = extract_point(lons, lats, i0)
     x1, y1 = extract_point(lons, lats, i1)
-    return float(initial_bearing_deg(x0, y0, x1, y1))
+    return float(geo_initial_bearing_deg(x0, y0, x1, y1, mode))
 
 
-def polyline_length_m(lons: np.ndarray, lats: np.ndarray) -> float:
-    """Geodesic length: sum of per-edge great-circle distances
+def polyline_length_m(lons: np.ndarray, lats: np.ndarray, mode: str = "wgs84") -> float:
+    """Geodesic length: sum of per-edge distances
     (mirrors the accumulation in OSMDataStore.getStreetSegments:544-556)."""
     lons = np.asarray(lons, dtype=np.float64)
     lats = np.asarray(lats, dtype=np.float64)
     if len(lons) < 2:
         return 0.0
-    return float(np.sum(haversine_m(lons[:-1], lats[:-1], lons[1:], lats[1:])))
+    return float(np.sum(geo_distance_m(lons[:-1], lats[:-1], lons[1:], lats[1:], mode)))

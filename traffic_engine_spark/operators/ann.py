@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine, hyperplane_bucket
+from ..functions.vectors import cosine, dot, hyperplane_bucket, norm
 
 
 def brute_topk(
@@ -24,13 +24,20 @@ def brute_topk(
 ) -> DataFrame:
     """Exact cosine top-k: broadcast the (small) query set against the
     corpus — the corpus is never shuffled, ranking is a per-query window.
+    Norms are computed once per row, not per pair (float-identical).
     Returns (query_id, rank, neighbor_id, cosine)."""
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("qn"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+        norm(F.col(vec_col)).alias("cn"),
+    )
     scored = (
         c.join(F.broadcast(q))
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", cosine(F.col("qv"), F.col("cv")))
+        .withColumn("cosine", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
@@ -59,25 +66,38 @@ def lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,
     k: int = 5,
-    n_planes: int = 6,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dims: int = 64,
+    band_planes: int = 4,
+    n_bands: int = 8,
 ) -> DataFrame:
-    """Approximate top-k: candidates must share the hyperplane bucket, then
-    exact cosine rank within bucket.  Recall trades off with n_planes."""
-    qb = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
-        hyperplane_bucket(F.col(vec_col), n_planes, dims).alias("bucket"),
+    """Approximate top-k: multi-band hyperplane candidates (any shared
+    band bucket), then exact cosine rank over the candidate set.  Recall
+    amplifies as 1-(1-p^r)^L; the corpus is only ever touched by bounded
+    (band, bval) equi-joins plus an id-spine join-back for scoring."""
+    from ..operators.dedup import lsh_band_keys
+
+    qb = lsh_band_keys(queries, id_col, vec_col, band_planes, n_bands, dims).withColumnRenamed("id", "query_id")
+    cb = lsh_band_keys(corpus, id_col, vec_col, band_planes, n_bands, dims).withColumnRenamed("id", "neighbor_id")
+    cand = (
+        cb.join(F.broadcast(qb), ["band", "bval"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
     )
-    cb = corpus.select(
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("qn"),
+    )
+    cv = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
-        hyperplane_bucket(F.col(vec_col), n_planes, dims).alias("bucket"),
+        norm(F.col(vec_col)).alias("cn"),
     )
     scored = (
-        cb.join(F.broadcast(qb), "bucket")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", cosine(F.col("qv"), F.col("cv")))
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .withColumn("cosine", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
@@ -92,10 +112,13 @@ def ivf_assign(
 ) -> DataFrame:
     """IVF coarse quantiser: assign each vector to its nearest centroid
     (broadcast centroids, argmax cosine).  (vec_id, centroid_id)."""
-    c = centroids.select(F.col("centroid_id"), F.col("cv"))
-    scored = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")).join(
-        F.broadcast(c)
-    ).withColumn("cosine", cosine(F.col("v"), F.col("cv")))
+    c = centroids.select(F.col("centroid_id"), F.col("cv"), norm(F.col("cv")).alias("cn"))
+    scored = emb.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"),
+        norm(F.col(vec_col)).alias("vn"),
+    ).join(F.broadcast(c)).withColumn(
+        "cosine", dot(F.col("v"), F.col("cv")) / (F.col("vn") * F.col("cn"))
+    )
     w = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc(), F.col("centroid_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w))

@@ -80,13 +80,18 @@ def topk_per_group(
 
 
 def sessionize(
-    events: DataFrame, key: str = "user_id", ts_ms: str = "ts_ms", gap_ms: int = 1_800_000
+    events: DataFrame, key: str = "user_id", ts_ms: str = "ts_ms", gap_ms: int = 1_800_000,
+    tiebreak: str | None = None,
 ) -> DataFrame:
     """Gaps-and-islands sessionization: new session when the gap to the
     previous event exceeds gap_ms; session_id = running sum of boundaries.
     One shuffle on the key; the streaming twin is a session window with
-    watermark (streaming/match_stream.py)."""
-    w = Window.partitionBy(key).orderBy(ts_ms)
+    watermark (streaming/match_stream.py).  Pass a unique ``tiebreak``
+    column when timestamps can repeat within a key — otherwise the window
+    order (and hence session assignment at gap boundaries) is
+    engine-dependent."""
+    order = [ts_ms] if tiebreak is None else [ts_ms, tiebreak]
+    w = Window.partitionBy(key).orderBy(*order)
     flagged = events.withColumn(
         "_new",
         F.when(

@@ -134,24 +134,14 @@ def pip_assign_winding(
         points.schema.fields + [T.StructField("poly_id", T.IntegerType(), False)]
     )
 
+    from ..functions.pip import assign_polys_np
+
     def run(batches):
         for pdf in batches:
             px = pdf[lon_col].to_numpy(dtype=np.float64)
             py = pdf[lat_col].to_numpy(dtype=np.float64)
-            assign = np.full(len(pdf), -1, dtype=np.int32)
-            for poly_id, lons, lats in sorted(polys, key=lambda p: p[0], reverse=True):
-                inside = np.zeros(len(pdf), dtype=bool)
-                j = len(lons) - 1
-                for i in range(len(lons)):  # even-odd rule, vectorised over points
-                    cond = (lats[i] > py) != (lats[j] > py)
-                    denom = lats[j] - lats[i]
-                    with np.errstate(divide="ignore", invalid="ignore"):
-                        xint = (lons[j] - lons[i]) * (py - lats[i]) / denom + lons[i]
-                    inside ^= cond & (px < xint)
-                    j = i
-                assign = np.where(inside, poly_id, assign)
             pdf = pdf.copy()
-            pdf["poly_id"] = assign
+            pdf["poly_id"] = assign_polys_np(px, py, polys)
             yield pdf
 
     return points.mapInPandas(run, schema=out_schema)

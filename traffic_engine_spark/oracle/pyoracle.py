@@ -34,9 +34,9 @@ from ..functions.cells import bbox_tiles_np, tile_x_np, tile_y_np
 from ..functions.geodesy import (
     bearing_at_index,
     clamp_azimuth,
-    destination_point,
     extract_point,
-    haversine_m,
+    geo_destination_point,
+    geo_distance_m,
     planar_lengths,
     polyline_length_m,
 )
@@ -173,9 +173,10 @@ def add_jumper(jumpers, start_index, end_index, j: Jumper):
     end_index.add((j.end_node, j.start_node))
 
 
-def build_network(nodes_df, ways_df) -> Network:
+def build_network(nodes_df, ways_df, cfg: EngineConfig = EngineConfig()) -> Network:
     """OSMDataStore.addOsm/getStreetSegments (OSMDataStore.java:345-424,
     516-592) + tripline creation (:594-612) + jumper build (:396-398)."""
+    mode = cfg.geodesy
     coords = {int(r.node_id): (float(r.lon), float(r.lat)) for r in nodes_df.itertuples()}
     ways = sorted(
         ((int(r.way_id), list(r.nodes), dict(r.tags)) for r in ways_df.itertuples()),
@@ -205,7 +206,7 @@ def build_network(nodes_df, ways_df) -> Network:
                 last_node = node_id
             pt = coords[node_id]
             if last_pt is not None:
-                seg_dist += float(haversine_m(last_pt[0], last_pt[1], pt[0], pt[1]))
+                seg_dist += float(geo_distance_m(last_pt[0], last_pt[1], pt[0], pt[1], mode))
             last_pt = pt
             seg_coords.append(pt)
             if len(seg_coords) > 1 and (node_id in intersections or i == len(nodes) - 1):
@@ -221,7 +222,7 @@ def build_network(nodes_df, ways_df) -> Network:
                     seg = Segment(sid, way_id, a, b, lo, la, seg_dist, oneway, stype)
                     net.segments[sid] = seg
                     if seg_dist > MIN_SEGMENT_LEN:
-                        for tl in make_triplines(seg):
+                        for tl in make_triplines(seg, mode):
                             net.triplines.append(tl)
                     else:
                         add_jumper(net.jumpers, start_index, end_index,
@@ -244,7 +245,7 @@ def build_network(nodes_df, ways_df) -> Network:
     return net
 
 
-def make_triplines(seg: Segment) -> list[TripLine]:
+def make_triplines(seg: Segment, mode: str = "wgs84") -> list[TripLine]:
     """OSMDataStore.createTripLine (OSMDataStore.java:381-395, 594-612):
     planar LengthIndexedLine placement scaled by planar/geodesic ratio,
     ε-probe bearing, ±90° destination points at 10 m."""
@@ -257,10 +258,10 @@ def make_triplines(seg: Segment) -> list[TripLine]:
          seg.length_m - INTERSECTION_MARGIN_METERS),
     ):
         tl_index = 1 if dist == INTERSECTION_MARGIN_METERS else 2
-        bearing = bearing_at_index(seg.lons, seg.lats, index)
+        bearing = bearing_at_index(seg.lons, seg.lats, index, mode)
         px, py = extract_point(seg.lons, seg.lats, index)
-        rx, ry = destination_point(px, py, float(clamp_azimuth(bearing + 90.0)), TRIPLINE_RADIUS)
-        lx, ly = destination_point(px, py, float(clamp_azimuth(bearing - 90.0)), TRIPLINE_RADIUS)
+        rx, ry = geo_destination_point(px, py, float(clamp_azimuth(bearing + 90.0)), TRIPLINE_RADIUS, mode)
+        lx, ly = geo_destination_point(px, py, float(clamp_azimuth(bearing - 90.0)), TRIPLINE_RADIUS, mode)
         out.append(
             TripLine(
                 tripline_id=tripline_id_py(seg.segment_id, tl_index),
@@ -291,8 +292,33 @@ def intersection_distance(p0, p1, q0, q1):
     return ax * by - ay * bx
 
 
+def tile_zone_offsets(fixes_df, tz_polygons_pd, tz_offsets_ms: dict[int, int]):
+    """C13 oracle dim: z11 tile → raw zone offset ms, looked up at the tile
+    envelope centre (OSMDataStore.java:412 + TimeConverter.java:183-190;
+    missing zone ⇒ 0).  Same even-odd PIP code as the engine
+    (functions/pip.py), so parity is exact away from polygon boundaries."""
+    from ..functions.cells import tile2lat_np, tile2lon_np
+    from ..functions.pip import assign_polys_np
+
+    lons = fixes_df["lon"].to_numpy(dtype=np.float64)
+    lats = fixes_df["lat"].to_numpy(dtype=np.float64)
+    tx = tile_x_np(lons, 11)
+    ty = tile_y_np(lats, 11)
+    tiles = sorted({(int(x), int(y)) for x, y in zip(tx, ty)})
+    xs = np.array([t[0] for t in tiles], dtype=np.float64)
+    ys = np.array([t[1] for t in tiles], dtype=np.float64)
+    cx = (tile2lon_np(xs, 11) + tile2lon_np(xs + 1, 11)) / 2
+    cy = (tile2lat_np(ys, 11) + tile2lat_np(ys + 1, 11)) / 2
+    polys = [
+        (int(r.poly_id), np.asarray(r.lons, dtype=np.float64), np.asarray(r.lats, dtype=np.float64))
+        for r in tz_polygons_pd.itertuples()
+    ]
+    pid = assign_polys_np(cx, cy, polys)
+    return {t: int(tz_offsets_ms.get(int(p), 0)) for t, p in zip(tiles, pid)}
+
+
 def process_traces(fixes_df, net: Network, cfg: EngineConfig = EngineConfig(),
-                   zone_offset_ms: int = 0):
+                   zone_offset_ms: int = 0, tile_offsets: dict | None = None):
     """Returns (crossings, samples).
 
     crossings: dicts (trace_id, seq, time, segment_id, tripline_index,
@@ -314,7 +340,14 @@ def process_traces(fixes_df, net: Network, cfg: EngineConfig = EngineConfig(),
             if ts < SEC_TO_MS_THRESHOLD:  # GPSPoint.java:28-29
                 ts *= 1000
             if cfg.convert_to_localtime:
-                ts += zone_offset_ms  # GPSPoint.offsetTime (GPSPoint.java:38-41)
+                # GPSPoint.offsetTime (GPSPoint.java:38-41); per-point z11
+                # area lookup (Vehicle.java:96-102) when tile_offsets given
+                if tile_offsets is not None:
+                    tx = int(tile_x_np(np.array([float(row.lon)]), 11)[0])
+                    ty = int(tile_y_np(np.array([float(row.lat)]), 11)[0])
+                    ts += tile_offsets.get((tx, ty), 0)
+                else:
+                    ts += zone_offset_ms
             cur = (ts, float(row.lat), float(row.lon))
             p0, last = last, cur
             if p0 is None:
@@ -380,7 +413,8 @@ def process_traces(fixes_df, net: Network, cfg: EngineConfig = EngineConfig(),
                 if speed > MAX_SPEED:
                     continue
                 sample = dict(trace_id=trace_id, segment_id=c["segment_id"],
-                              time=last_crossing["time"], speed=speed, source="crossing")
+                              time=last_crossing["time"], speed=speed, source="crossing",
+                              end_time=c["time"])
                 cur_seg = net.segments.get(c["segment_id"])
                 if cur_seg is not None and last_segment is not None:
                     if last_segment.end_node != cur_seg.start_node:
@@ -393,12 +427,66 @@ def process_traces(fixes_df, net: Network, cfg: EngineConfig = EngineConfig(),
                             for sid in j.segments:
                                 samples_out.append(dict(
                                     trace_id=trace_id, segment_id=sid,
-                                    time=sample["time"], speed=jspeed, source="jumper"))
+                                    time=sample["time"], speed=jspeed, source="jumper",
+                                    end_time=c["time"]))
                 last_segment_time = sample["time"]
                 last_segment = cur_seg
                 samples_out.append(sample)
 
     return crossings_out, samples_out
+
+
+def offmap_traces(samples, net: Network, fixes_df,
+                  cfg: EngineConfig = EngineConfig(), zone_offset_ms: int = 0):
+    """OffMapTrace oracle — the exact rule plans/match.offmap_traces
+    implements (see its docstring: the reference defines the store/query
+    surface, geom/OffMapTrace.java:6-21 + OSMDataStore.java:156-158, but no
+    producer; the gap rule is this engine's, mirrored bit-for-bit here).
+
+    Consecutive crossing samples per trace in (time, end_time, segment_id)
+    order whose segments aren't node-adjacent nor jumper-bridged; polyline
+    = trace fixes with end_time(A) <= ts <= time(B), time-sorted."""
+    from collections import defaultdict
+
+    from ..functions.ids import det_id_py
+
+    by_trace: dict = defaultdict(list)
+    for s in samples:
+        if s["source"] == "crossing":
+            by_trace[s["trace_id"]].append(s)
+
+    # ms-coerced (+tz) fixes per trace, sorted by ts (mirrors decode_fixes)
+    fixes_by_trace: dict = defaultdict(list)
+    for r in fixes_df.itertuples():
+        ts = int(r.ts)
+        if ts < SEC_TO_MS_THRESHOLD:
+            ts *= 1000
+        if cfg.convert_to_localtime:
+            ts += zone_offset_ms
+        fixes_by_trace[int(r.trace_id)].append((ts, float(r.lon), float(r.lat)))
+    for v in fixes_by_trace.values():
+        v.sort()
+
+    out = []
+    for trace_id, ss in sorted(by_trace.items()):
+        ss.sort(key=lambda s: (s["time"], s["end_time"], s["segment_id"]))
+        for a, b in zip(ss, ss[1:]):
+            sa = net.segments[a["segment_id"]]
+            sb = net.segments[b["segment_id"]]
+            if sa.end_node == sb.start_node:
+                continue
+            if (sa.end_node, sb.start_node) in net.jumpers:
+                continue
+            t0, t1 = a["end_time"], b["time"]
+            pts = [p for p in fixes_by_trace[trace_id] if t0 <= p[0] <= t1]
+            key = f"tr_{sa.segment_id}_{sb.segment_id}"
+            out.append(dict(
+                offmap_id=det_id_py(f"{key}:{trace_id}:{t0}"),
+                trace_key=key, trace_id=trace_id,
+                start_id=sa.segment_id, end_id=sb.segment_id, t0=t0, t1=t1,
+                lons=[p[1] for p in pts], lats=[p[2] for p in pts],
+            ))
+    return out
 
 
 def histograms(samples):

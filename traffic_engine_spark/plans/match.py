@@ -74,6 +74,67 @@ def decode_fixes(images: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> DataF
 
 
 # ---------------------------------------------------------------------------
+# stage 1b — C13 per-area timezone offsets (GPSPoint.offsetTime)
+# ---------------------------------------------------------------------------
+
+
+def area_zone_offsets(
+    fixes: DataFrame, tz_polygons_pd: pd.DataFrame, tz_offsets_ms: dict[int, int]
+) -> DataFrame:
+    """The per-z11-area zone-offset dim (OSMDataStore.java:412: one offset
+    per OSM area, looked up at the area envelope's *centre*;
+    TimeConverter.getOffsetForCoord:183-190 returns the zone's raw offset,
+    0 when no zone contains the point).
+
+    Distinct z11 tiles come from the fixes themselves (the reference loads
+    areas lazily per visited tile, OSMDataStore.checkOsm:322-331); centres
+    are PIP-assigned against the broadcast tz polygon table (J7 machinery);
+    ``tz_offsets_ms`` maps poly_id → raw offset ms.  The dim is O(visited
+    z11 tiles) — broadcastable at any data scale (the planet has < 4.2M z11
+    tiles, and offsets pack to 20 bytes/row)."""
+    from ..functions.cells import tile2lat_col, tile2lon_col
+    from ..operators.spatial import pip_assign_winding
+
+    tiles = fixes.select(
+        tile_x_col(F.col("lon"), Z_AREA).alias("ax"),
+        tile_y_col(F.col("lat"), Z_AREA).alias("ay"),
+    ).distinct()
+    centres = tiles.select(
+        "ax", "ay",
+        ((tile2lon_col(F.col("ax"), Z_AREA) + tile2lon_col(F.col("ax") + 1, Z_AREA)) / 2).alias("lon"),
+        ((tile2lat_col(F.col("ay"), Z_AREA) + tile2lat_col(F.col("ay") + 1, Z_AREA)) / 2).alias("lat"),
+    )
+    assigned = pip_assign_winding(centres, tz_polygons_pd)
+    mapping = F.create_map(
+        *[F.lit(v) for kv in tz_offsets_ms.items() for v in kv]
+    )
+    return assigned.select(
+        "ax", "ay",
+        F.coalesce(mapping[F.col("poly_id")], F.lit(0)).cast("long").alias("zone_offset_ms"),
+    )
+
+
+def apply_zone_offsets(
+    fixes: DataFrame, offsets_dim: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """GPSPoint.offsetTime (GPSPoint.java:38-41, applied per point in
+    Vehicle.java:96-102 via the point's z11 area): ts += area offset, gated
+    on cfg.convert_to_localtime exactly like the reference flag."""
+    if not cfg.convert_to_localtime:
+        return fixes
+    dim = offsets_dim.select(
+        F.col("ax").alias("_ax"), F.col("ay").alias("_ay"), "zone_offset_ms"
+    )
+    return (
+        fixes.withColumn("_ax", tile_x_col(F.col("lon"), Z_AREA))
+        .withColumn("_ay", tile_y_col(F.col("lat"), Z_AREA))
+        .join(F.broadcast(dim), ["_ax", "_ay"], "left")
+        .withColumn("ts", F.col("ts") + F.coalesce(F.col("zone_offset_ms"), F.lit(0)))
+        .drop("_ax", "_ay", "zone_offset_ms")
+    )
+
+
+# ---------------------------------------------------------------------------
 # stage 2 — per-trace consecutive pairing (W1) + admissibility filters
 # ---------------------------------------------------------------------------
 
@@ -189,6 +250,9 @@ SAMPLE_SCHEMA = T.StructType(
         T.StructField("time", T.LongType(), False),
         T.StructField("speed", T.DoubleType(), False),
         T.StructField("source", T.StringType(), False),
+        # the completing (exit) crossing time of the event that emitted this
+        # row — the map-exit timestamp OffMapTrace gap windows start from
+        T.StructField("end_time", T.LongType(), False),
     ]
 )
 
@@ -209,8 +273,13 @@ def speed_samples(
     does not affect results.
 
     Side inputs (segment endpoint nodes + jumpers) ship as broadcast dicts
-    — at planet scale these shard by z11 area and join in as broadcast
-    *per region bucket*."""
+    at city scale; with ``cfg.planet_scale`` the per-segment attrs ride the
+    crossing rows via an equi-join instead (speed_samples_planet) so no
+    O(network) data is ever collected to the driver.  Jumpers stay a
+    broadcast dict in both modes — they cover only the short-segment sliver
+    (< MIN_SEGMENT_LEN) of the network, a bounded side input."""
+    if cfg.planet_scale:
+        return speed_samples_planet(spark, crossings, segments, jumpers_pd, cfg)
     seg_nodes = {}
     tl_attrs = {}  # packed (idx<<60 | segment_id) → (tripline_id, dist)
     for r in segments.select(
@@ -258,6 +327,7 @@ def speed_samples(
         out_time: list[int] = []
         out_speed: list[float] = []
         out_src: list[str] = []
+        out_end: list[int] = []
 
         for pdf in batches:
             # tolist(): one C pass to native python scalars — per-element
@@ -307,25 +377,245 @@ def speed_samples(
                         for sid in jmp[1]:
                             out_trace.append(trace); out_seg.append(sid)
                             out_time.append(sample_time); out_speed.append(jspeed)
-                            out_src.append("jumper")
+                            out_src.append("jumper"); out_end.append(c_time)
                 last_segment_time = sample_time
                 last_segment = cur_nodes
                 out_trace.append(trace); out_seg.append(c_seg)
                 out_time.append(sample_time); out_speed.append(speed)
-                out_src.append("crossing")
+                out_src.append("crossing"); out_end.append(c_time)
             if len(out_trace) >= 65536:
                 yield pd.DataFrame(
                     {"trace_id": out_trace, "segment_id": out_seg, "time": out_time,
-                     "speed": out_speed, "source": out_src}
+                     "speed": out_speed, "source": out_src, "end_time": out_end}
                 )
-                out_trace, out_seg, out_time, out_speed, out_src = [], [], [], [], []
+                out_trace, out_seg, out_time, out_speed, out_src, out_end = [], [], [], [], [], []
         if out_trace:
             yield pd.DataFrame(
                 {"trace_id": out_trace, "segment_id": out_seg, "time": out_time,
-                 "speed": out_speed, "source": out_src}
+                 "speed": out_speed, "source": out_src, "end_time": out_end}
             )
 
     return arranged.mapInPandas(run, schema=SAMPLE_SCHEMA)
+
+
+def speed_samples_planet(
+    spark: SparkSession,
+    crossings: DataFrame,
+    segments: DataFrame,
+    jumpers_pd: pd.DataFrame,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+):
+    """Planet-scale variant of the J3/J4 kernel: NO ``segments.collect()``.
+
+    The per-segment side data the kernel needs — tripline id + dist (already
+    on every crossing row from the J1 join) and the segment's endpoint nodes
+    (one equi-join against ``segments``, AQE picks broadcast vs sort-merge
+    by actual size) — rides the rows across the Arrow boundary instead of
+    living in driver-built dicts.  Costs 7 columns instead of 3 on the
+    Arrow pipe; buys O(1) driver memory at any network size.  Only the
+    jumper table (short-segment sliver, bounded) remains a broadcast dict.
+
+    Output is bit-identical to ``speed_samples`` (test_infra planet-mode
+    parity test): same sort order, same state machine, same quirks."""
+    jm = {
+        (int(r.start_node_id), int(r.end_node_id)): (float(r.length_m), [int(x) for x in r.segment_ids])
+        for r in jumpers_pd.itertuples()
+    }
+    bc_jump = spark.sparkContext.broadcast(jm)
+
+    seg_dim = segments.select(
+        "segment_id",
+        F.col("start_node_id").alias("s_node"),
+        F.col("end_node_id").alias("e_node"),
+    )
+    n_part = spark.sparkContext.defaultParallelism * 4
+    packed = F.shiftleft(F.col("tripline_index").cast("long"), 60) + F.col("segment_id")
+    arranged = (
+        crossings.join(seg_dim, "segment_id", "inner")  # every crossing's
+        # segment exists by construction (triplines derive from segments)
+        .select(
+            "trace_id", "seq", "time", "segment_id", "tripline_index",
+            "tripline_id", "tile_x", "tile_y", packed.alias("packed"),
+            "dist", "s_node", "e_node",
+        )
+        .repartition(n_part, "trace_id")
+        .sortWithinPartitions("trace_id", "seq", "time", "tile_x", "tile_y", "tripline_id")
+        .select("trace_id", "time", "packed", "tripline_id", "dist", "s_node", "e_node")
+    )
+
+    def run(batches):
+        jump_map = bc_jump.value
+        seg_mask = (1 << 60) - 1
+        state_trace = None
+        pending: list[tuple] = []
+        last_segment = None
+        last_segment_time = None
+        out_trace: list[int] = []
+        out_seg: list[int] = []
+        out_time: list[int] = []
+        out_speed: list[float] = []
+        out_src: list[str] = []
+        out_end: list[int] = []
+
+        for pdf in batches:
+            tr = pdf["trace_id"].to_numpy().tolist()
+            tm = pdf["time"].to_numpy().tolist()
+            pk = pdf["packed"].to_numpy().tolist()
+            tl = pdf["tripline_id"].to_numpy().tolist()
+            ds = pdf["dist"].to_numpy().tolist()
+            sn = pdf["s_node"].to_numpy().tolist()
+            en = pdf["e_node"].to_numpy().tolist()
+            for i in range(len(tr)):
+                trace = tr[i]
+                if trace != state_trace:
+                    state_trace = trace
+                    pending = []
+                    last_segment = None
+                    last_segment_time = None
+                c_time = tm[i]
+                p = pk[i]
+                c_seg = p & seg_mask
+                c_idx = p >> 60
+                c_tlid, c_dist = tl[i], ds[i]
+                last_crossing = None
+                if pending:
+                    it = pending if len(pending) == 1 else sorted(pending)
+                    for pc in it:
+                        if pc[2] == c_seg and pc[3] <= c_idx and abs(pc[3] - c_idx) == 1:
+                            last_crossing = pc
+                            pending = []
+                            break
+                if c_idx == 1:
+                    pending.append((c_time, c_tlid, c_seg, c_idx, c_dist))
+                if last_crossing is None:
+                    continue
+                if c_idx < last_crossing[3]:
+                    continue
+                dt_s = (c_time - last_crossing[0]) // 1000
+                if dt_s == 0:
+                    continue
+                speed = abs(c_dist - last_crossing[4]) / dt_s
+                if speed > MAX_SPEED:
+                    continue
+                sample_time = last_crossing[0]
+                cur_nodes = (sn[i], en[i])
+                if last_segment is not None and last_segment[1] != cur_nodes[0]:
+                    jmp = jump_map.get((last_segment[1], cur_nodes[0]))
+                    if jmp is not None:
+                        dtj = (sample_time - last_segment_time) // 1000
+                        jspeed = (jmp[0] + MIN_SEGMENT_LEN * 2) / dtj if dtj != 0 else float("inf")
+                        for sid in jmp[1]:
+                            out_trace.append(trace); out_seg.append(sid)
+                            out_time.append(sample_time); out_speed.append(jspeed)
+                            out_src.append("jumper"); out_end.append(c_time)
+                last_segment_time = sample_time
+                last_segment = cur_nodes
+                out_trace.append(trace); out_seg.append(c_seg)
+                out_time.append(sample_time); out_speed.append(speed)
+                out_src.append("crossing"); out_end.append(c_time)
+            if len(out_trace) >= 65536:
+                yield pd.DataFrame(
+                    {"trace_id": out_trace, "segment_id": out_seg, "time": out_time,
+                     "speed": out_speed, "source": out_src, "end_time": out_end}
+                )
+                out_trace, out_seg, out_time, out_speed, out_src, out_end = [], [], [], [], [], []
+        if out_trace:
+            yield pd.DataFrame(
+                {"trace_id": out_trace, "segment_id": out_seg, "time": out_time,
+                 "speed": out_speed, "source": out_src, "end_time": out_end}
+            )
+
+    return arranged.mapInPandas(run, schema=SAMPLE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# OffMapTrace — polylines between map exit and map re-entry
+# ---------------------------------------------------------------------------
+
+
+def offmap_traces(
+    spark: SparkSession,
+    samples: DataFrame,
+    segments: DataFrame,
+    jumpers_pd: pd.DataFrame,
+    fixes: DataFrame,
+) -> DataFrame:
+    """OffMapTrace (geom/OffMapTrace.java:6-21, store osm/OSMDataStore.java:
+    116,156-158, query API TrafficEngine.java:103-104): the GPS polyline a
+    vehicle drew between leaving the mapped network and re-entering it,
+    keyed (startId, endId) = the segment exited / entered, trace key
+    "tr_{startId}_{endId}" (OffMapTrace.getTraceId).
+
+    The reference ships the store + envelope query but never wires a
+    producer (no `new OffMapTrace` outside the serializer), so the gap
+    *rule* is defined here and mirrored exactly by the oracle
+    (pyoracle.offmap_traces): consecutive crossing samples of one trace —
+    ordered by (time, end_time, segment_id), the same order the kernel's
+    last_segment tracking follows — whose segments are not node-adjacent
+    and not bridged by a jumper (a jumper bridge is ON-map: J4 already
+    emits its samples).  The window is [end_time(A), time(B)]: A's exit
+    crossing to B's entry crossing.
+
+    Plan shape (all declarative, scales like the pipeline itself): window
+    lag over the samples → two equi-joins against the segment dim for the
+    endpoint nodes → broadcast anti-join against jumpers → per-trace range
+    join back to fixes → sort_array(collect_list) for the polyline."""
+    cr = samples.filter(F.col("source") == "crossing")
+    w = Window.partitionBy("trace_id").orderBy("time", "end_time", "segment_id")
+    trans = (
+        cr.select(
+            "trace_id", "segment_id", "time", "end_time",
+            F.lag("segment_id").over(w).alias("start_id"),
+            F.lag("end_time").over(w).alias("t0"),
+        )
+        .filter(F.col("start_id").isNotNull())
+    )
+    seg_a = segments.select(
+        F.col("segment_id").alias("start_id"), F.col("end_node_id").alias("a_end")
+    )
+    seg_b = segments.select("segment_id", F.col("start_node_id").alias("b_start"))
+    jump_dim = spark.createDataFrame(
+        jumpers_pd[["start_node_id", "end_node_id"]],
+        schema="start_node_id long, end_node_id long",
+    ).select(F.col("start_node_id").alias("a_end"), F.col("end_node_id").alias("b_start"))
+    gaps = (
+        trans.join(seg_a, "start_id")
+        .join(seg_b, "segment_id")
+        .filter(F.col("a_end") != F.col("b_start"))
+        .join(F.broadcast(jump_dim), ["a_end", "b_start"], "left_anti")
+        .select(
+            "trace_id",
+            "start_id",
+            F.col("segment_id").alias("end_id"),
+            "t0",
+            F.col("time").alias("t1"),
+        )
+    )
+    pts = (
+        fixes.select("trace_id", "ts", "lon", "lat")
+        .join(gaps, "trace_id")
+        .filter(F.col("ts").between(F.col("t0"), F.col("t1")))
+        .groupBy("trace_id", "start_id", "end_id", "t0", "t1")
+        .agg(F.sort_array(F.collect_list(F.struct("ts", "lon", "lat"))).alias("pts"))
+    )
+    out = gaps.join(pts, ["trace_id", "start_id", "end_id", "t0", "t1"], "left")
+    from ..functions.ids import det_id_col
+
+    trace_key = F.concat(
+        F.lit("tr_"), F.col("start_id").cast("string"), F.lit("_"),
+        F.col("end_id").cast("string"),
+    )
+    empty = F.array().cast("array<double>")
+    return out.select(
+        det_id_col(
+            F.concat(trace_key, F.lit(":"), F.col("trace_id").cast("string"),
+                     F.lit(":"), F.col("t0").cast("string"))
+        ).alias("offmap_id"),
+        trace_key.alias("trace_key"),
+        "trace_id", "start_id", "end_id", "t0", "t1",
+        F.coalesce(F.col("pts.lon"), empty).alias("lons"),
+        F.coalesce(F.col("pts.lat"), empty).alias("lats"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -362,9 +652,17 @@ def run_pipeline(
     segments: DataFrame,
     jumpers_pd: pd.DataFrame,
     cfg: EngineConfig = DEFAULT_CONFIG,
+    tz_polygons_pd: pd.DataFrame | None = None,
+    tz_offsets_ms: dict[int, int] | None = None,
 ):
-    """images → (crossings, samples).  The one lazy plan of SURVEY §3.1."""
+    """images → (crossings, samples).  The one lazy plan of SURVEY §3.1.
+
+    Pass ``tz_polygons_pd`` + ``tz_offsets_ms`` to enable C13 localtime
+    conversion (per-z11-area offsets); omitted = UTC input (offset 0)."""
     fixes = decode_fixes(images, cfg)
+    if tz_polygons_pd is not None and cfg.convert_to_localtime:
+        dim = area_zone_offsets(fixes, tz_polygons_pd, tz_offsets_ms or {})
+        fixes = apply_zone_offsets(fixes, dim, cfg)
     if cfg.apply_anonymity_gate:
         fixes = anonymity_gate(fixes)
     pairs = pair_fixes(fixes, cfg)

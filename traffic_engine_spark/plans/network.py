@@ -27,13 +27,19 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..config import INTERSECTION_MARGIN_METERS, MIN_SEGMENT_LEN, TRIPLINE_RADIUS
+from ..config import (
+    DEFAULT_CONFIG,
+    EngineConfig,
+    INTERSECTION_MARGIN_METERS,
+    MIN_SEGMENT_LEN,
+    TRIPLINE_RADIUS,
+)
 from ..functions.geodesy import (
     bearing_at_index,
     clamp_azimuth,
-    destination_point,
     extract_point,
-    haversine_m,
+    geo_destination_point,
+    geo_distance_m,
     planar_lengths,
 )
 from ..functions.ids import segment_id_py, tripline_id_py
@@ -69,11 +75,16 @@ TRIPLINE_SCHEMA = T.StructType(
 )
 
 
-def _split_way_batch(pdf: pd.DataFrame, intersections: set) -> pd.DataFrame:
-    """Per-way split at intersection nodes (OSMDataStore.java:516-592)."""
+def _split_way_batch(pdf: pd.DataFrame, mode: str = "wgs84") -> pd.DataFrame:
+    """Per-way split at intersection nodes (OSMDataStore.java:516-592).
+
+    Intersection-ness arrives as the per-node ``ninter`` flag array joined
+    in upstream (a plain equi-join) — NOT a driver-collected set, which
+    would be O(network) driver memory at planet scale."""
     rows = []
     for way in pdf.itertuples():
         nodes = list(way.nodes)
+        inter_flags = list(way.ninter)
         lons = np.asarray(way.nlons, dtype=np.float64)
         lats = np.asarray(way.nlats, dtype=np.float64)
         if any(pd.isna(lons)) or any(pd.isna(lats)):
@@ -81,15 +92,18 @@ def _split_way_batch(pdf: pd.DataFrame, intersections: set) -> pd.DataFrame:
         tags = dict(way.tags)
         oneway = is_oneway(tags)
         stype = street_type_of(tags)
+        # per-edge geodesic distances, one vectorised call per way
+        edge_m = (
+            geo_distance_m(lons[:-1], lats[:-1], lons[1:], lats[1:], mode)
+            if len(lons) > 1 else np.zeros(0)
+        )
         seg_dist, last_node, start_i = 0.0, nodes[0], 0
         seq = 0
         seen = set()
         for i, node_id in enumerate(nodes):
             if i > 0:
-                seg_dist += float(
-                    haversine_m(lons[i - 1], lats[i - 1], lons[i], lats[i])
-                )
-            if i > start_i and (node_id in intersections or i == len(nodes) - 1):
+                seg_dist += float(edge_m[i - 1])
+            if i > start_i and (inter_flags[i] or i == len(nodes) - 1):
                 slons, slats = lons[start_i : i + 1], lats[start_i : i + 1]
 
                 def emit(a, b, lo, la):
@@ -117,7 +131,8 @@ def _split_way_batch(pdf: pd.DataFrame, intersections: set) -> pd.DataFrame:
 
 
 def build_segments(
-    spark: SparkSession, ways: DataFrame, nodes: DataFrame, broadcast_nodes: bool = True
+    spark: SparkSession, ways: DataFrame, nodes: DataFrame, broadcast_nodes: bool = True,
+    cfg: EngineConfig = DEFAULT_CONFIG,
 ) -> DataFrame:
     """ways(way_id, nodes:array<long>, tags:map) ⋈ nodes(node_id, lat, lon)
     → street segments.  Traffic-edge filter (F1) + intersection agg (A1)
@@ -127,24 +142,31 @@ def build_segments(
     exploded = traffic.select(
         "way_id", "tags", F.posexplode("nodes").alias("pos", "node_id")
     )
-    # A1: node on ≥2 sightings across traffic ways ⇒ intersection
+    # A1: node on ≥2 sightings across traffic ways ⇒ intersection.
+    # Joined back as a flag (equi-join, AQE picks broadcast vs SMJ by size)
+    # instead of a driver-collected set — intersection nodes are O(10^8) at
+    # planet scale and must never land on the driver.
     inters = (
         exploded.groupBy("node_id")
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= 2)
-        .select("node_id")
+        .select("node_id", F.lit(True).alias("is_inter"))
     )
-    intersections = {int(r.node_id) for r in inters.collect()}  # small dim
-    bc = spark.sparkContext.broadcast(intersections)
 
     n = F.broadcast(nodes) if broadcast_nodes else nodes
     with_coords = (
         exploded.join(n, "node_id", "left")
+        .join(inters, "node_id", "left")
         .groupBy("way_id")
         .agg(
             F.first("tags").alias("tags"),
             F.sort_array(
-                F.collect_list(F.struct("pos", "node_id", "lon", "lat"))
+                F.collect_list(
+                    F.struct(
+                        "pos", "node_id", "lon", "lat",
+                        F.coalesce(F.col("is_inter"), F.lit(False)).alias("inter"),
+                    )
+                )
             ).alias("pts"),
         )
         .select(
@@ -153,19 +175,23 @@ def build_segments(
             F.col("pts.node_id").alias("nodes"),
             F.col("pts.lon").alias("nlons"),
             F.col("pts.lat").alias("nlats"),
+            F.col("pts.inter").alias("ninter"),
         )
     )
 
+    mode = cfg.geodesy
+
     def run(pdf_iter):
         for pdf in pdf_iter:
-            yield _split_way_batch(pdf, bc.value)
+            yield _split_way_batch(pdf, mode)
 
     return with_coords.mapInPandas(run, schema=SEGMENT_SCHEMA)
 
 
-def build_triplines(segments: DataFrame) -> DataFrame:
+def build_triplines(segments: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame:
     """Segments longer than MIN_SEGMENT_LEN get two triplines
     (OSMDataStore.java:381-395, createTripLine:594-612)."""
+    mode = cfg.geodesy
 
     def make(pdf_iter):
         for pdf in pdf_iter:
@@ -183,10 +209,10 @@ def build_triplines(segments: DataFrame) -> DataFrame:
                     ),
                     start=1,
                 ):
-                    bearing = bearing_at_index(lons, lats, index)
+                    bearing = bearing_at_index(lons, lats, index, mode)
                     px, py = extract_point(lons, lats, index)
-                    rx, ry = destination_point(px, py, float(clamp_azimuth(bearing + 90.0)), TRIPLINE_RADIUS)
-                    lx, ly = destination_point(px, py, float(clamp_azimuth(bearing - 90.0)), TRIPLINE_RADIUS)
+                    rx, ry = geo_destination_point(px, py, float(clamp_azimuth(bearing + 90.0)), TRIPLINE_RADIUS, mode)
+                    lx, ly = geo_destination_point(px, py, float(clamp_azimuth(bearing - 90.0)), TRIPLINE_RADIUS, mode)
                     rows.append(
                         (tripline_id_py(s.segment_id, tl_index), s.segment_id,
                          tl_index, dist, float(lx), float(ly), float(rx), float(ry))
@@ -227,9 +253,98 @@ def build_jumpers(segments: DataFrame) -> pd.DataFrame:
     )
 
 
-def build_network_tables(spark: SparkSession, ways: DataFrame, nodes: DataFrame):
+JUMPER_SCHEMA = T.StructType(
+    [
+        T.StructField("start_node_id", T.LongType(), False),
+        T.StructField("end_node_id", T.LongType(), False),
+        T.StructField("length_m", T.DoubleType(), False),
+        T.StructField("segment_ids", T.ArrayType(T.LongType()), False),
+    ]
+)
+
+
+def build_jumpers_sharded(spark: SparkSession, segments: DataFrame) -> DataFrame:
+    """Planet-scale J5: the jumper fold sharded by connected component.
+
+    add_jumper merges only jumpers sharing an endpoint node
+    (JumperDataStore.java:59-111), so the merge closure of any jumper is its
+    connected component in the short-segment node graph — components never
+    interact, and folding each component separately in the same
+    deterministic (way_id, seq_in_way, twin) order yields EXACTLY the
+    global fold's output (test_jumpers_sharded_matches_global).
+
+    Components are computed by min-label propagation (a few tiny
+    equi-joins; chains are metres-scale so the diameter — and iteration
+    count — is small), then each component folds inside applyInPandas.
+    Nothing O(network) ever reaches the driver."""
+    short = segments.filter(F.col("length_m") <= MIN_SEGMENT_LEN).select(
+        "segment_id", "way_id", "start_node_id", "end_node_id", "length_m",
+        "seq_in_way", "twin",
+    )
+    edges = short.select(
+        F.col("start_node_id").alias("a"), F.col("end_node_id").alias("b")
+    ).distinct().localCheckpoint()
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .unionByName(edges.select(F.col("b").alias("node")))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(64):  # diameter bound; chains are short
+        la = labels.select(F.col("node").alias("a"), F.col("label").alias("la"))
+        lb = labels.select(F.col("node").alias("b"), F.col("label").alias("lb"))
+        m = edges.join(la, "a").join(lb, "b")
+        prop = (
+            m.select(F.col("a").alias("node"), F.least("la", "lb").alias("label"))
+            .unionByName(m.select(F.col("b").alias("node"), F.least("la", "lb").alias("label")))
+            .unionByName(labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()  # cut the lineage per iteration
+        )
+        changed = (
+            prop.join(labels.withColumnRenamed("label", "old"), "node")
+            .filter(F.col("label") != F.col("old"))
+            .count()
+        )
+        labels = prop
+        if changed == 0:
+            break
+
+    comp = short.join(
+        labels.select(
+            F.col("node").alias("start_node_id"), F.col("label").alias("component")
+        ),
+        "start_node_id",
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["way_id", "seq_in_way", "twin"])
+        jumpers: dict = {}
+        s_idx: set = set()
+        e_idx: set = set()
+        for s in pdf.itertuples():
+            add_jumper(
+                jumpers, s_idx, e_idx,
+                Jumper(int(s.start_node_id), int(s.end_node_id), float(s.length_m),
+                       [int(s.segment_id)]),
+            )
+        return pd.DataFrame(
+            [(k[0], k[1], j.length, j.segments) for k, j in jumpers.items()],
+            columns=["start_node_id", "end_node_id", "length_m", "segment_ids"],
+        )
+
+    return comp.groupBy("component").applyInPandas(
+        lambda key, pdf: fold(pdf), schema=JUMPER_SCHEMA
+    )
+
+
+def build_network_tables(
+    spark: SparkSession, ways: DataFrame, nodes: DataFrame,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+):
     """Full network build → (segments_df, triplines_df, jumpers_pd)."""
-    segments = build_segments(spark, ways, nodes).cache()
-    triplines = build_triplines(segments).cache()
+    segments = build_segments(spark, ways, nodes, cfg=cfg).cache()
+    triplines = build_triplines(segments, cfg=cfg).cache()
     jumpers = build_jumpers(segments)
     return segments, triplines, jumpers

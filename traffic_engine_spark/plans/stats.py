@@ -161,23 +161,30 @@ def welch_t_test(
         F.col("stddev_ms").alias("sd2"),
     )
     j = a.join(b, "segment_id")
-    sd2_eff = F.col("sd1") if strict_parity else F.col("sd2")
-    n2_eff = F.col("n1") if strict_parity else F.col("n2")
+    # The reference's single bug is in combinedStdDev ONLY
+    # (SummaryStatisticsComparison.java:117-118): stdDev2 reads
+    # stats1.getStdDev() while the divisor stays stats2.count, so the
+    # strict branch substitutes sd1 in the combined-stddev/t-stat term and
+    # NOWHERE else; tCrit (:173-177) uses the true sd2 and n2.
+    sd2_comb = F.col("sd1") if strict_parity else F.col("sd2")
     v1 = F.pow(F.col("sd1"), F.lit(2.0)) / F.col("n1")
-    v2 = F.pow(sd2_eff, F.lit(2.0)) / n2_eff
-    combined = F.sqrt(v1 + v2)
+    v2_comb = F.pow(sd2_comb, F.lit(2.0)) / F.col("n2")
+    combined = F.sqrt(v1 + v2_comb)
+    # Satterthwaite df from the true variances (tCrit has no sd-swap bug)
+    v2 = F.pow(F.col("sd2"), F.lit(2.0)) / F.col("n2")
     df_sw = F.pow(v1 + v2, F.lit(2.0)) / (
         F.pow(v1, F.lit(2.0)) / (F.col("n1") - 1)
-        + F.pow(v2, F.lit(2.0)) / (n2_eff - 1)
+        + F.pow(v2, F.lit(2.0)) / (F.col("n2") - 1)
     )
     # broadcast T_CRIT column lookup: df index = round(Satterthwaite) - 1
-    # clamped to [0, 34] (SummaryStatisticsComparison.java:160-191);
-    # counts > 35 on both sides short-circuit to the df=∞-ish last row
+    # clamped to [0, 34] (SummaryStatisticsComparison.java:184-189; Java
+    # Math.round = floor(x+0.5)); counts > 35 on BOTH sides short-circuit
+    # to the last row (:167-168)
     crit_col = F.array(*[F.lit(row[P_VALUE_COLS[p_value] - 1]) for row in T_CRIT])
     df_idx = F.greatest(
-        F.least(F.round(df_sw).cast("int") - 1, F.lit(34)), F.lit(0)
+        F.least(F.floor(df_sw + F.lit(0.5)).cast("int") - 1, F.lit(34)), F.lit(0)
     )
-    df_idx = F.when((F.col("n1") > 35) & (n2_eff > 35), F.lit(34)).otherwise(df_idx)
+    df_idx = F.when((F.col("n1") > 35) & (F.col("n2") > 35), F.lit(34)).otherwise(df_idx)
     t_stat = (F.col("mean1") - F.col("mean2")) / combined
     t_crit = F.element_at(crit_col, df_idx + 1)
     # one-sided test; negative t always "true" (SummaryStatisticsComparison
@@ -186,7 +193,9 @@ def welch_t_test(
     return j.select(
         "segment_id",
         (F.col("mean1") - F.col("mean2")).alias("mean_diff"),
-        ((F.col("mean1") - F.col("mean2")) / F.col("mean2") * 100.0).alias("pct_diff"),
+        # differenceAsPercent (:90-95) divides by mean1 and returns a
+        # FRACTION (no ×100) — reference semantics, reproduced as-is
+        ((F.col("mean1") - F.col("mean2")) / F.col("mean1")).alias("pct_diff"),
         combined.alias("combined_stddev"),
         df_sw.alias("df"),
         t_stat.alias("t_stat"),

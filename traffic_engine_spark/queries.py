@@ -348,14 +348,14 @@ def asof_join(spark, sf_dir):
     f"""
 WITH {PTS_CTE},
 flagged AS (
-  SELECT user_id, ts_ms,
+  SELECT user_id, ts_ms, event_id,
          CASE WHEN lag(ts_ms) OVER w IS NULL THEN 1
               WHEN ts_ms - lag(ts_ms) OVER w > 1800000 THEN 1 ELSE 0 END AS newflag
-  FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms)),
+  FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
 sessions AS (
   SELECT user_id, ts_ms,
-         sum(newflag) OVER (PARTITION BY user_id ORDER BY ts_ms
-                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         CAST(sum(newflag) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
   FROM flagged)
 SELECT user_id, session_id, count(*) AS n_events,
        min(ts_ms) AS start_ms, max(ts_ms) AS end_ms
@@ -365,7 +365,10 @@ FROM sessions GROUP BY user_id, session_id
 def sessionize(spark, sf_dir):
     """Gaps-and-islands sessionization (30-min gap) + session stats."""
     p = _points(spark, sf_dir)
-    s = relational.sessionize(p.select("user_id", F.col("ts_ms")), key="user_id", ts_ms="ts_ms")
+    s = relational.sessionize(
+        p.select("user_id", "ts_ms", "event_id"),
+        key="user_id", ts_ms="ts_ms", tiebreak="event_id",
+    )
     return s.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.min("ts_ms").alias("start_ms"),
@@ -389,8 +392,8 @@ adm AS (
   FROM pairs
   WHERE p_ts IS NOT NULL AND (lat != p_lat OR lon != p_lon) AND ts_ms - p_ts <= 200000000000)
 SELECT user_id, count(*) AS n_pairs,
-       round(sum(dist_m), 4) AS total_m,
-       sum(CASE WHEN dt_ms > 0 AND dist_m / (dt_ms/1000.0) <= 31.0 THEN 1 ELSE 0 END) AS n_admissible
+       CAST(sum(CAST(floor(dist_m * 1000.0 + 0.5) AS BIGINT)) AS BIGINT) AS total_mm,
+       CAST(sum(CASE WHEN dt_ms > 0 AND dist_m / (dt_ms/1000.0) <= 31.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_admissible
 FROM adm GROUP BY user_id
 """,
 )
@@ -426,9 +429,12 @@ def pair_speed(spark, sf_dir):
     adm = pairs.withColumn("dist_m", dist).withColumn(
         "dt_ms", F.col("ts_ms") - F.col("p_ts")
     )
+    # per-pair dist is bit-identical across engines (same formula); summing
+    # integer millimetres (floor(x+0.5), Java-round semantics) makes the
+    # total independent of summation order — float sums are not.
     return adm.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_pairs"),
-        F.round(F.sum("dist_m"), 4).alias("total_m"),
+        F.sum(F.floor(F.col("dist_m") * 1000.0 + F.lit(0.5)).cast("long")).alias("total_mm"),
         F.sum(
             F.when(
                 (F.col("dt_ms") > 0)
@@ -483,7 +489,7 @@ SELECT segment_key,
        round(sum(((speed_bin - 0.5)/3.6) * n) / sum(n), 6) AS mean_ms,
        round(sqrt(sum(pow((speed_bin - 0.5)/3.6, 2) * n) / sum(n)
                   - pow(sum(((speed_bin - 0.5)/3.6) * n) / sum(n), 2)), 6) AS stddev_ms,
-       sum(n) AS count
+       CAST(sum(n) AS BIGINT) AS count
 FROM hist GROUP BY segment_key
 """,
 )
@@ -509,7 +515,7 @@ def summary_stats(spark, sf_dir):
     "rollup_weeks",
     f"""
 WITH {PTS_CTE}, {_HIST_CTE}
-SELECT segment_key, hour_of_week, speed_bin, sum(n) AS n
+SELECT segment_key, hour_of_week, speed_bin, CAST(sum(n) AS BIGINT) AS n
 FROM hist GROUP BY segment_key, hour_of_week, speed_bin
 """,
 )
@@ -836,12 +842,147 @@ bit AS (SELECT doc_id, b, CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END AS v
         FROM h CROSS JOIN (SELECT unnest(range(32)) AS b)),
 s AS (SELECT doc_id, b, sum(v) AS s FROM bit GROUP BY doc_id, b)
 SELECT doc_id,
-       sum(CASE WHEN s > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS simhash
+       CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
 FROM s GROUP BY doc_id
 """,
 )
 def dedup_simhash(spark, sf_dir):
     return dedup.simhash(_t(spark, sf_dir, "documents"))
+
+
+def _sql_lsh_bucket(n_planes: int = 8, dims: int = 64) -> str:
+    # plane weights folded to integer literals (plane_weight == the
+    # ('0x'||substr(md5('{j}_{k}'),1,8))::BIGINT % 1000 - 500 expression —
+    # verified identical; inlining keeps the SQL parse/eval tractable)
+    from .functions.vectors import plane_weight
+
+    terms = []
+    for j in range(n_planes):
+        dots = " + ".join(
+            f"embedding[{k + 1}] * CAST({plane_weight(j, k)} AS BIGINT)"
+            for k in range(dims)
+        )
+        terms.append(f"CASE WHEN ({dots}) > 0 THEN {1 << j} ELSE 0 END")
+    return "(" + " + ".join(terms) + ")"
+
+
+_SIMHASH_CTE = f"""
+norm AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS t FROM norm),
+h AS (SELECT doc_id, {_sql_hash('t')} AS h FROM tok),
+bit AS (SELECT doc_id, b, CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END AS v
+        FROM h CROSS JOIN (SELECT unnest(range(32)) AS b)),
+s AS (SELECT doc_id, b, sum(v) AS s FROM bit GROUP BY doc_id, b),
+sig AS (SELECT doc_id,
+               CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+        FROM s GROUP BY doc_id)
+"""
+
+
+@q(
+    "dedup_simhash_pairs",
+    f"""
+WITH {_SIMHASH_CTE},
+bands AS (SELECT doc_id, simhash, b AS band, (simhash >> (b * 8)) & 255 AS bval
+          FROM sig CROSS JOIN (SELECT unnest(range(4)) AS b)),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                a.simhash AS sa, b.simhash AS sb
+         FROM bands a JOIN bands b ON a.band = b.band AND a.bval = b.bval
+                                  AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+""",
+)
+def dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs: 4×8-bit banding join (pigeonhole-complete
+    for Hamming ≤ 3) + exact bit_count verify."""
+    return dedup.simhash_pairs(_t(spark, sf_dir, "documents"))
+
+
+_LSH_BANDS_CTE = f"""
+sigbits AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                   {_sql_lsh_bucket(32, 64)} AS bits
+            FROM embeddings),
+lbands AS (SELECT vec_id, t AS band, (bits >> (t * 4)) & 15 AS bval
+           FROM sigbits CROSS JOIN (SELECT unnest(range(8)) AS t)),
+vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+"""
+
+
+@q(
+    "dedup_embedding_lsh",
+    f"""
+WITH {_LSH_BANDS_CTE},
+cand AS (SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+         FROM lbands a JOIN lbands c ON a.band = c.band AND a.bval = c.bval
+                                    AND a.vec_id < c.vec_id)
+SELECT id_a, id_b,
+       round(list_dot_product(a.v, c.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS cosine
+FROM cand JOIN vecs a ON a.vec_id = id_a JOIN vecs c ON c.vec_id = id_b
+WHERE round(list_dot_product(a.v, c.v)
+            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))), 6) >= 0.3
+""",
+)
+def dedup_embedding_lsh(spark, sf_dir):
+    """The SCALE path for embedding near-dup: multi-band (8×4-bit)
+    hyperplane candidates + exact cosine verify (the all-pairs crossJoin
+    stays a test-scale yardstick — see test_embedding_lsh_recall_vs_brute)."""
+    return dedup.embedding_lsh_pairs(_t(spark, sf_dir, "embeddings"), min_cosine=0.3)
+
+
+@q(
+    "ann_lsh_topk",
+    f"""
+WITH {_LSH_BANDS_CTE},
+q AS (SELECT vec_id AS query_id, band, bval FROM lbands WHERE vec_id % 50 = 0),
+cand AS (SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
+         FROM q JOIN lbands c ON q.band = c.band AND q.bval = c.bval
+                             AND q.query_id != c.vec_id),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         list_dot_product(a.v, c.v)
+         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+  FROM cand JOIN vecs a ON a.vec_id = cand.query_id
+            JOIN vecs c ON c.vec_id = cand.neighbor_id),
+ranked AS (SELECT query_id, neighbor_id, cos,
+                  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+           FROM scored)
+SELECT query_id, rank, neighbor_id, round(cos, 6) AS cosine
+FROM ranked WHERE rank <= 5
+""",
+)
+def ann_lsh_topk(spark, sf_dir):
+    """Approximate top-k: multi-band candidates, exact cosine rank."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return ann.lsh_topk(emb.filter(F.col("vec_id") % 50 == 0), emb, k=5)
+
+
+@q(
+    "type_stats",
+    f"""
+WITH {PTS_CTE},
+typed AS (SELECT CAST(event_id % 5 AS INT) AS street_type, value AS speed FROM pts)
+SELECT street_type, count(*) AS count,
+       round(sum(speed), 4) AS sum_speed, round(avg(speed), 6) AS avg_speed
+FROM typed GROUP BY street_type
+""",
+)
+def type_stats_q(spark, sf_dir):
+    """A6 — TypeStatistics (data/stats/TypeStatistics.java:7-48) over an
+    oracle-checkable street_type derivation."""
+    from .plans import stats as S
+
+    typed = _points(spark, sf_dir).select(
+        (F.col("event_id") % 5).cast("int").alias("street_type"),
+        F.col("value").alias("speed"),
+    )
+    out = S.type_stats(typed)
+    return out.select(
+        "street_type", "count",
+        F.round("sum_speed", 4).alias("sum_speed"),
+        F.round("avg_speed", 6).alias("avg_speed"),
+    )
 
 
 @q(
@@ -903,17 +1044,6 @@ FROM ranked WHERE rank <= 5
 def ann_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return ann.brute_topk(emb.filter(F.col("vec_id") % 50 == 0), emb, k=5)
-
-
-def _sql_lsh_bucket(n_planes: int = 8, dims: int = 64) -> str:
-    terms = []
-    for j in range(n_planes):
-        dots = " + ".join(
-            f"embedding[{k + 1}] * ((('0x' || substr(md5('{j}_{k}'), 1, 8))::BIGINT % 1000) - 500)"
-            for k in range(dims)
-        )
-        terms.append(f"CASE WHEN ({dots}) > 0 THEN {1 << j} ELSE 0 END")
-    return "(" + " + ".join(terms) + ")"
 
 
 @q(
@@ -1125,6 +1255,16 @@ def traffic_crossings(spark, sf_dir):
 def traffic_speed_samples(spark, sf_dir):
     """Full pipeline output (J3/J4 kernel) — exact-match vs oracle in pytest."""
     return _pipeline(spark)[5]
+
+
+@q("traffic_offmap_traces", None)
+def traffic_offmap_traces(spark, sf_dir):
+    """OffMapTrace (geom/OffMapTrace.java:6-21): polylines between map exit
+    and re-entry — exact-match vs oracle in pytest (test_offmap_traces_exact)."""
+    from .plans import match as M
+
+    images, segs, tls, jumpers, crossings, samples = _pipeline(spark)
+    return M.offmap_traces(spark, samples, segs, jumpers, M.decode_fixes(images))
 
 
 @q("traffic_histograms", None)

@@ -59,7 +59,12 @@ def segments_to_geojson_files(segments: DataFrame, path: str):
             F.lit("Feature").alias("type"),
             F.struct(
                 F.lit("LineString").alias("type"),
-                F.arrays_zip(F.col("lons"), F.col("lats")).alias("coordinates"),
+                # positions must be [x, y] ARRAYS (RFC 7946 §3.1.1) — a bare
+                # arrays_zip would emit {"lons":x,"lats":y} objects
+                F.transform(
+                    F.arrays_zip(F.col("lons"), F.col("lats")),
+                    lambda p: F.array(p["lons"], p["lats"]),
+                ).alias("coordinates"),
             ).alias("geometry"),
             F.struct("segment_id", "way_id", "street_type", "oneway", "length_m").alias("properties"),
         )

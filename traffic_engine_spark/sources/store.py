@@ -1,0 +1,118 @@
+"""Iceberg-shaped table store on plain parquet snapshots.
+
+BASELINE.json specifies Iceberg tables; the sandbox has no Iceberg runtime
+jar, so this module reproduces the three Iceberg behaviours the engine
+relies on, storage-format-agnostically:
+
+  * MERGE-upsert dedupe on a logical key — the reference's
+    StreetDataStore.save insert-if-absent semantics
+    (data/stores/StreetDataStore.java:35-44: an existing segmentIndex key
+    wins, the new row is dropped);
+  * numbered snapshots with a JSON metadata log (snapshot id, parent,
+    operation, row deltas) — the shape of Iceberg's metadata tree;
+  * snapshot-pinned reads (time travel) so a resumed pipeline can re-read
+    the exact table state a checkpoint recorded.
+
+On a real cluster, swap `_write_snapshot`/`read` for `df.writeTo(...).
+append()` / `VERSION AS OF` and the semantics carry over unchanged
+(MERGE ... WHEN NOT MATCHED THEN INSERT).  Each snapshot here rewrites the
+full table — fine for dimension-sized stores (the street network); fact
+tables use the append path.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class SnapshotStore:
+    def __init__(self, spark: SparkSession, path: str, key_cols: list[str]):
+        self.spark = spark
+        self.path = path
+        self.key_cols = list(key_cols)
+        os.makedirs(path, exist_ok=True)
+        self.meta_path = os.path.join(path, "metadata.json")
+
+    # -- metadata -------------------------------------------------------------
+
+    def snapshots(self) -> list[dict]:
+        if not os.path.exists(self.meta_path):
+            return []
+        with open(self.meta_path) as f:
+            return json.load(f)
+
+    def current_snapshot_id(self) -> int | None:
+        snaps = self.snapshots()
+        return snaps[-1]["snapshot_id"] if snaps else None
+
+    def _commit(self, entry: dict):
+        snaps = self.snapshots()
+        snaps.append(entry)
+        tmp = self.meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(snaps, f, indent=1)
+        os.replace(tmp, self.meta_path)  # atomic pointer swap, Iceberg-style
+
+    def _snap_dir(self, snapshot_id: int) -> str:
+        return os.path.join(self.path, f"snap-{snapshot_id:06d}")
+
+    # -- reads ----------------------------------------------------------------
+
+    def read(self, snapshot_id: int | None = None) -> DataFrame:
+        """Current table state, or `VERSION AS OF snapshot_id` time travel."""
+        sid = self.current_snapshot_id() if snapshot_id is None else snapshot_id
+        if sid is None:
+            raise ValueError(f"store {self.path} has no snapshots")
+        return self.spark.read.parquet(self._snap_dir(sid))
+
+    # -- writes ---------------------------------------------------------------
+
+    def _write_snapshot(self, df: DataFrame, operation: str, added: int) -> dict:
+        parent = self.current_snapshot_id()
+        sid = 0 if parent is None else parent + 1
+        out = self._snap_dir(sid)
+        df.write.mode("overwrite").parquet(out)
+        total = self.spark.read.parquet(out).count()
+        entry = {
+            "snapshot_id": sid, "parent": parent, "operation": operation,
+            "added_rows": int(added), "total_rows": int(total),
+            "key": self.key_cols, "ts": time.time(),
+        }
+        self._commit(entry)
+        return entry
+
+    def overwrite(self, df: DataFrame) -> dict:
+        return self._write_snapshot(df, "overwrite", df.count())
+
+    def merge_insert_if_absent(self, df: DataFrame) -> dict:
+        """MERGE ... WHEN NOT MATCHED THEN INSERT on the logical key — the
+        StreetDataStore.save dedupe: rows whose key already exists are
+        DROPPED (the stored row wins), new keys are inserted exactly once
+        (within-batch duplicates keep the first in deterministic key
+        order).  A no-change merge commits no snapshot (Iceberg behaviour)."""
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*self.key_cols).orderBy(*df.columns)
+        batch = (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        if self.current_snapshot_id() is None:
+            return self._write_snapshot(batch, "merge", batch.count())
+        existing = self.read()
+        fresh = batch.join(
+            existing.select(*self.key_cols), self.key_cols, "left_anti"
+        )
+        added = fresh.count()
+        if added == 0:
+            snaps = self.snapshots()
+            return {**snaps[-1], "operation": "merge-noop", "added_rows": 0}
+        return self._write_snapshot(
+            existing.unionByName(fresh), "merge", added
+        )

@@ -12,7 +12,9 @@ pairing with no watermark.  The Spark recast:
 The kernel *shares the same state-transition code path shape* as the batch
 kernel (plans/match.py); batch is the source of truth for parity tests,
 and the streaming kernel is validated against batch outputs on the same
-fixture (tests/test_streaming.py) via the foreachBatch-free memory sink.
+fixture (tests/test_infra.py::test_streaming_kernel_matches_batch, plus the
+multi-microbatch variant that forces state round-trips mid-trace) via the
+foreachBatch-free memory sink.
 
 The anonymity gate (W3, ≥10 vehicles per tile) is a cross-key aggregate —
 approximated in streaming as a separate windowed count stream (documented
@@ -44,17 +46,28 @@ STREAM_SAMPLE_SCHEMA = T.StructType(
         T.StructField("time", T.LongType(), False),
         T.StructField("speed", T.DoubleType(), False),
         T.StructField("source", T.StringType(), False),
+        T.StructField("end_time", T.LongType(), False),
     ]
 )
 
 # state: lastPoint (ts, lat, lon), pending crossings, last segment nodes,
-# last segment time — GroupState holds one tuple row
+# last segment time — GroupState holds one tuple row.
+#
+# Pending crossings are (time, tripline_id, segment_id, index, dist) tuples.
+# The ids are md5-derived 60-bit longs (> 2^53): they do NOT round-trip
+# through float64, so the state stores them as parallel LongType arrays —
+# an array<array<double>> encoding would silently corrupt every id at the
+# first microbatch boundary and pending crossings would never complete.
 STATE_SCHEMA = T.StructType(
     [
         T.StructField("last_ts", T.LongType(), True),
         T.StructField("last_lat", T.DoubleType(), True),
         T.StructField("last_lon", T.DoubleType(), True),
-        T.StructField("pending", T.ArrayType(T.ArrayType(T.DoubleType())), True),
+        T.StructField("pend_time", T.ArrayType(T.LongType()), True),
+        T.StructField("pend_tl", T.ArrayType(T.LongType()), True),
+        T.StructField("pend_seg", T.ArrayType(T.LongType()), True),
+        T.StructField("pend_idx", T.ArrayType(T.LongType()), True),
+        T.StructField("pend_dist", T.ArrayType(T.DoubleType()), True),
         T.StructField("last_seg_start", T.LongType(), True),
         T.StructField("last_seg_end", T.LongType(), True),
         T.StructField("last_seg_time", T.LongType(), True),
@@ -76,8 +89,14 @@ def make_stream_kernel(tile_index: dict, tl_attrs: dict, seg_nodes: dict, jumper
             return
 
         if state.exists:
-            last_ts, last_lat, last_lon, pending_raw, lss, lse, lst = state.get
-            pending = [tuple(p) for p in (pending_raw or [])]
+            (last_ts, last_lat, last_lon,
+             p_time, p_tl, p_seg, p_idx, p_dist, lss, lse, lst) = state.get
+            pending = [
+                (int(t), int(tl), int(sg), int(ix), float(d))
+                for t, tl, sg, ix, d in zip(
+                    p_time or [], p_tl or [], p_seg or [], p_idx or [], p_dist or []
+                )
+            ]
             last_seg = (lss, lse) if lss is not None else None
         else:
             last_ts = last_lat = last_lon = None
@@ -135,15 +154,19 @@ def make_stream_kernel(tile_index: dict, tl_attrs: dict, seg_nodes: dict, jumper
                             dtj = (sample_time - lst) // 1000
                             jspeed = (jm[0] + MIN_SEGMENT_LEN * 2) / dtj if dtj != 0 else float("inf")
                             for sid in jm[1]:
-                                out.append((trace_id, sid, sample_time, jspeed, "jumper"))
+                                out.append((trace_id, sid, sample_time, jspeed, "jumper", c_time))
                     lst = sample_time
                     last_seg = cur
-                    out.append((trace_id, c_seg, sample_time, speed, "crossing"))
+                    out.append((trace_id, c_seg, sample_time, speed, "crossing", c_time))
 
         state.update(
             (
                 last_ts, last_lat, last_lon,
-                [list(map(float, p)) for p in pending],
+                [int(p[0]) for p in pending],
+                [int(p[1]) for p in pending],
+                [int(p[2]) for p in pending],
+                [int(p[3]) for p in pending],
+                [float(p[4]) for p in pending],
                 last_seg[0] if last_seg else None,
                 last_seg[1] if last_seg else None,
                 lst,
