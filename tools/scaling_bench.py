@@ -29,7 +29,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 BENCH_DIR = os.environ.get("SPARK_GRAFT_BENCH_DIR", "/root/repo/.bench_data")
 
 
-def run_child(cpus: int, traces: int) -> dict:
+def run_child(cpus: int, traces: int, offset: int = 0) -> dict:
     from traffic_engine_spark import get_spark
     from traffic_engine_spark.datagen.bench_data import bench_network, ensure_bench_images
     from traffic_engine_spark.plans import match as M
@@ -38,8 +38,10 @@ def run_child(cpus: int, traces: int) -> dict:
     from traffic_engine_spark.plans import tiles as TI
 
     spark = get_spark(app_name=f"scaling-{cpus}", cores=cpus, shuffle_partitions=cpus)
+    suffix = f"_off{offset}" if offset else ""
     images_path = ensure_bench_images(
-        spark, os.path.join(BENCH_DIR, f"images_{traces}"), n_traces=traces
+        spark, os.path.join(BENCH_DIR, f"images_{traces}{suffix}"),
+        n_traces=traces, trace_offset=offset,
     )
     images = spark.read.parquet(images_path)
     n_images = images.count()
@@ -88,7 +90,59 @@ def main():
 
     if "--child" in sys.argv:
         cpus = int(sys.argv[sys.argv.index("--child") + 1])
-        print(json.dumps(run_child(cpus, traces)))
+        offset = 0
+        if "--offset" in sys.argv:
+            offset = int(sys.argv[sys.argv.index("--offset") + 1])
+        print(json.dumps(run_child(cpus, traces, offset)))
+        return
+
+    if "--executors" in sys.argv:
+        # Multi-executor weak scaling: N=1 executor (2 pinned cores) on D
+        # traces vs 4N=4 executor PROCESSES (2 pinned cores each, disjoint
+        # core sets, own JVMs) on 4 disjoint D-trace slices — exactly the
+        # "N and 4N executors" cluster shape (spark-submit deploys
+        # executors as separate JVMs; a single local[8] JVM under-reports
+        # scaling because GC/locks are shared).  Weak efficiency =
+        # T_1exec(D) / max_i T_i(D).
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        d = traces // 4
+
+        def spawn(core_lo, core_hi, offset):
+            cmd = ["taskset", "-c", f"{core_lo}-{core_hi}", sys.executable,
+                   __file__, "--child", "2", "--traces", str(d),
+                   "--offset", str(offset)]
+            return subprocess.Popen(cmd, stdout=subprocess.PIPE, text=True, cwd=repo)
+
+        # pre-generate all four slices (cached)
+        for i in range(4):
+            subprocess.run(
+                [sys.executable, "-c",
+                 "import sys; sys.path.insert(0, %r);"
+                 "from traffic_engine_spark import get_spark;"
+                 "from traffic_engine_spark.datagen.bench_data import ensure_bench_images;"
+                 "s = get_spark(cores=16);"
+                 "ensure_bench_images(s, %r, n_traces=%d, trace_offset=%d); s.stop()"
+                 % (repo, os.path.join(BENCH_DIR, f"images_{d}" + (f"_off{i*d}" if i else "")), d, i * d)],
+                cwd=repo, capture_output=True, text=True)
+
+        single = json.loads(
+            subprocess.run(["taskset", "-c", "0-1", sys.executable, __file__,
+                            "--child", "2", "--traces", str(d)],
+                           capture_output=True, text=True, cwd=repo).stdout.strip().splitlines()[-1])
+        procs = [spawn(i * 2, i * 2 + 1, i * d) for i in range(4)]
+        outs = [json.loads(p.communicate()[0].strip().splitlines()[-1]) for p in procs]
+        slowest = max(o["wall_sec"] for o in outs)
+        weak = single["wall_sec"] / slowest
+        agg_rows = sum(o["rows"] for o in outs)
+        print(json.dumps({
+            "protocol": "1 executor (2 cores) on D vs 4 executor JVMs (2 cores each, disjoint pins) on 4 disjoint D slices",
+            "single_executor": single,
+            "executors_4x": outs,
+            "weak_scaling_efficiency": round(weak, 3),
+            "aggregate_rows_per_sec_4x": int(agg_rows / slowest),
+            "target": 0.8,
+            "weak_pass": weak >= 0.8,
+        }))
         return
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

@@ -62,13 +62,19 @@ def ensure_bench_images(
     n_moves_lo: int = 60,
     n_moves_hi: int = 100,
     partitions: int = 64,
+    trace_offset: int = 0,
 ) -> str:
-    """Generate (once) and return the path of the bench images table."""
+    """Generate (once) and return the path of the bench images table.
+
+    ``trace_offset`` selects a disjoint trace-id slice: per-trace seeding
+    means slice [k·N, (k+1)·N) is byte-identical to the corresponding rows
+    of the full [0, 4N) table — so 4 offset slices form an exact partition
+    of the 4× input (the multi-executor weak-scaling protocol)."""
     if os.path.exists(os.path.join(path, "_SUCCESS")):
         return path
     _, _, meta = generate_city(seed=42, n_rows=grid, n_cols=grid)
     # meta is small (few hundred nodes) — ships in the task closure
-    ids = spark.range(0, n_traces, 1, partitions)
+    ids = spark.range(trace_offset, trace_offset + n_traces, 1, partitions)
 
     def gen(batches):
         for pdf in batches:

@@ -263,6 +263,7 @@ def speed_samples(
     segments: DataFrame,
     jumpers_pd: pd.DataFrame,
     cfg: EngineConfig = DEFAULT_CONFIG,
+    repartition_input: bool = True,
 ) -> DataFrame:
     """Partition-streaming kernel: repartition by trace_id +
     sortWithinPartitions, then ONE mapInPandas pass that streams rows in
@@ -300,16 +301,23 @@ def speed_samples(
     bc_tl = spark.sparkContext.broadcast(tl_attrs)
     bc_jump = spark.sparkContext.broadcast(jm)
 
-    n_part = spark.sparkContext.defaultParallelism * 4  # explicit: AQE would
-    # coalesce by byte size and starve the Python stage of parallelism
     packed = F.shiftleft(F.col("tripline_index").cast("long"), 60) + F.col("segment_id")
+    arranged = crossings.select(
+        "trace_id", "seq", "time", "segment_id", "tripline_index",
+        "tripline_id", "tile_x", "tile_y", packed.alias("packed"),
+    )
+    if repartition_input:
+        # explicit partition count: AQE would coalesce by byte size and
+        # starve the Python stage of parallelism
+        n_part = spark.sparkContext.defaultParallelism * 4
+        arranged = arranged.repartition(n_part, "trace_id")
+    # else: the caller guarantees crossings are already hash-partitioned by
+    # trace_id — true by construction in run_pipeline, where the pairing
+    # window's exchange partitioning survives the narrow explode/join/refine
+    # chain; skipping the re-shuffle saves a full pass over the crossings
+    # (the 3rd of the pipeline's 3 exchanges)
     arranged = (
-        crossings.select(
-            "trace_id", "seq", "time", "segment_id", "tripline_index",
-            "tripline_id", "tile_x", "tile_y", packed.alias("packed"),
-        )
-        .repartition(n_part, "trace_id")
-        .sortWithinPartitions("trace_id", "seq", "time", "tile_x", "tile_y", "tripline_id")
+        arranged.sortWithinPartitions("trace_id", "seq", "time", "tile_x", "tile_y", "tripline_id")
         # ordering established — project everything but the 3-column payload
         # away so it never crosses the Arrow boundary
         .select("trace_id", "time", "packed")
@@ -668,5 +676,11 @@ def run_pipeline(
     pairs = pair_fixes(fixes, cfg)
     tl_index = tripline_cell_index(triplines)
     crossings = find_crossings(pairs, tl_index, cfg=cfg)
+    # NOTE: crossings already inherit the pairing window's hash(trace_id)
+    # partitioning through the narrow join chain, so repartition_input=False
+    # is semantically valid here — but measured SLOWER (93s vs 68s at 8
+    # cores / 53M rows): the explicit kernel exchange decouples the fat
+    # explode+join stage from the Python stage and rebalances the per-trace
+    # crossing skew across 4× finer tasks.  Keep the 3-exchange shape.
     samples = speed_samples(spark, crossings, segments, jumpers_pd, cfg)
     return crossings, samples
