@@ -107,11 +107,12 @@ def lsh_topk(
     )
 
 
-def ivf_assign(
-    emb: DataFrame, centroids: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+def _centroid_rank(
+    emb: DataFrame, centroids: DataFrame, id_col: str, vec_col: str
 ) -> DataFrame:
-    """IVF coarse quantiser: assign each vector to its nearest centroid
-    (broadcast centroids, argmax cosine).  (vec_id, centroid_id)."""
+    """(vec_id, centroid_id, rn): every vector ranked against every
+    (broadcast) centroid — the shared core of assignment (rn=1) and probe
+    selection (rn<=nprobe)."""
     c = centroids.select(F.col("centroid_id"), F.col("cv"), norm(F.col("cv")).alias("cn"))
     scored = emb.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"),
@@ -120,8 +121,65 @@ def ivf_assign(
         "cosine", dot(F.col("v"), F.col("cv")) / (F.col("vn") * F.col("cn"))
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc(), F.col("centroid_id"))
+    return scored.withColumn("rn", F.row_number().over(w))
+
+
+def ivf_assign(
+    emb: DataFrame, centroids: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """IVF coarse quantiser: assign each vector to its nearest centroid
+    (broadcast centroids, argmax cosine).  (vec_id, centroid_id)."""
     return (
-        scored.withColumn("rn", F.row_number().over(w))
+        _centroid_rank(emb, centroids, id_col, vec_col)
         .filter(F.col("rn") == 1)
         .select("vec_id", "centroid_id")
+    )
+
+
+def ivf_search(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search: corpus vectors live in their nearest-centroid cell
+    (inverted lists = the corpus partitioning key at scale); each query
+    probes its `nprobe` nearest cells and ranks exact cosine within the
+    probed candidates.  Returns (query_id, rank, neighbor_id, cosine).
+
+    Plan: two broadcast centroid argmax passes (no corpus shuffle beyond
+    the cell equi-join), candidates bounded by the probed cells' sizes —
+    the standard IVF recall/cost dial (nprobe ↑ ⇒ recall ↑)."""
+    cells = ivf_assign(corpus, centroids, id_col, vec_col).withColumnRenamed(
+        "vec_id", "neighbor_id"
+    )
+    probes = (
+        _centroid_rank(queries, centroids, id_col, vec_col)
+        .filter(F.col("rn") <= nprobe)
+        .select(F.col("vec_id").alias("query_id"), "centroid_id")
+    )
+    cand = cells.join(F.broadcast(probes), "centroid_id").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    ).select("query_id", "neighbor_id").distinct()
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("qn"),
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+        norm(F.col(vec_col)).alias("cn"),
+    )
+    scored = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .withColumn("cosine", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("cosine", 6).alias("cosine"))
     )

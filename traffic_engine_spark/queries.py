@@ -1189,6 +1189,57 @@ def ann_ivf_assign(spark, sf_dir):
     return ann.ivf_assign(emb, centroids)
 
 
+_IVF_CTE = """
+c AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings WHERE vec_id < 8),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+cscored AS (
+  SELECT v.vec_id, c.centroid_id,
+         list_dot_product(v.emb, c.cv)
+         / (sqrt(list_dot_product(v.emb, v.emb)) * sqrt(list_dot_product(c.cv, c.cv))) AS cos,
+         row_number() OVER (PARTITION BY v.vec_id
+                            ORDER BY list_dot_product(v.emb, c.cv)
+                                     / (sqrt(list_dot_product(v.emb, v.emb))
+                                        * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                                     c.centroid_id) AS rn
+  FROM v CROSS JOIN c)
+"""
+
+
+@q(
+    "ann_ivf_search",
+    f"""
+WITH {_IVF_CTE},
+cells AS (SELECT vec_id AS neighbor_id, centroid_id FROM cscored WHERE rn = 1),
+probes AS (SELECT vec_id AS query_id, centroid_id FROM cscored
+           WHERE rn <= 2 AND vec_id % 50 = 0),
+cand AS (SELECT DISTINCT p.query_id, cells.neighbor_id
+         FROM probes p JOIN cells ON p.centroid_id = cells.centroid_id
+         WHERE p.query_id != cells.neighbor_id),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         list_dot_product(q.emb, n.emb)
+         / (sqrt(list_dot_product(q.emb, q.emb)) * sqrt(list_dot_product(n.emb, n.emb))) AS cos
+  FROM cand JOIN v q ON q.vec_id = cand.query_id JOIN v n ON n.vec_id = cand.neighbor_id),
+ranked AS (SELECT query_id, neighbor_id, cos,
+                  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+           FROM scored)
+SELECT query_id, rank, neighbor_id, round(cos, 6) AS cosine
+FROM ranked WHERE rank <= 5
+""",
+)
+def ann_ivf_search(spark, sf_dir):
+    """IVF search: nprobe=2 nearest cells per query, exact cosine rank
+    within the probed inverted lists (the ANN scale dial)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cv")
+    )
+    return ann.ivf_search(
+        emb.filter(F.col("vec_id") % 50 == 0), emb, centroids, k=5, nprobe=2
+    )
+
+
 @q(
     "tiles_for_z_quirk",
     f"""
@@ -1277,6 +1328,15 @@ def traffic_histograms(spark, sf_dir):
 @q("traffic_triplines", None)
 def traffic_triplines(spark, sf_dir):
     return _pipeline(spark)[2]
+
+
+@q("multimodal_resize", None)
+def multimodal_resize(spark, sf_dir):
+    """Multimodal resize plumbing (decode → numpy resample → re-encode →
+    pHash) over the image table — invariants tested in test_multimodal."""
+    from .plans import multimodal as MM
+
+    return MM.resize_images(_pipeline(spark)[0], 16, 12)
 
 
 @q("traffic_tile_invariants", None)
