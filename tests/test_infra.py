@@ -346,6 +346,34 @@ def test_snapshot_store_merge_and_time_travel(spark, tmp_path, spark_network):
     assert [s["snapshot_id"] for s in store.snapshots()] == [0, 1]
 
 
+def test_empty_and_malformed_inputs(spark, spark_network, images_pd):
+    """Robustness at the ingest boundary: an empty images table flows
+    through the whole pipeline as a schema-preserving no-op, and malformed
+    captions (unparseable geotags) are dropped row-wise — never a crash
+    (Spark 4 ANSI mode would throw on a plain cast)."""
+    segs, tls, jumpers_pd = spark_network
+
+    empty = spark.createDataFrame([], schema=spark.createDataFrame(images_pd).schema)
+    crossings, samples = M.run_pipeline(spark, empty, tls, segs, jumpers_pd)
+    assert crossings.count() == 0 and samples.count() == 0
+    assert [f.name for f in samples.schema.fields] == [
+        "trace_id", "segment_id", "time", "speed", "source", "end_time"
+    ]
+
+    # corrupt half the captions; the clean half must still produce the
+    # same fixes it would alone
+    bad = images_pd.copy()
+    bad.loc[::2, "caption"] = "not;a;geotag;at-all"
+    fixes = M.decode_fixes(spark.createDataFrame(bad))
+    clean_rows = len(images_pd) - len(bad.loc[::2])
+    assert fixes.count() == clean_rows
+    om = M.offmap_traces(
+        spark, M.run_pipeline(spark, spark.createDataFrame(bad), tls, segs, jumpers_pd)[1],
+        segs, jumpers_pd, fixes,
+    )
+    om.count()  # plan executes end-to-end on the degraded input
+
+
 def test_asof_join_operator(spark):
     left = spark.createDataFrame(
         pd.DataFrame({"k": [1, 1, 2], "ts": [10, 20, 10], "lid": [1, 2, 3]})
