@@ -346,6 +346,52 @@ def test_snapshot_store_merge_and_time_travel(spark, tmp_path, spark_network):
     assert [s["snapshot_id"] for s in store.snapshots()] == [0, 1]
 
 
+def test_streaming_gate_matches_batch(spark, images_pd):
+    """Streaming W3 (the reference's per-tile RELEASE gate,
+    VehicleStates.java:188-227) must pass exactly the batch
+    anonymity_gate's row set on a finite input: tiles reaching 10 distinct
+    traces release their buffer, under-threshold tiles never emit."""
+    import tempfile
+
+    from traffic_engine_spark.streaming.match_stream import gate_fixes_stream
+
+    images = spark.createDataFrame(images_pd)
+    fixes = M.decode_fixes(images)
+    # z16 cells: small enough that the fixture has both gated and passing
+    # tiles (at the production z11 every city tile clears the threshold)
+    batch = M.anonymity_gate(fixes, zoom=16).toPandas()
+    assert 0 < len(batch) < fixes.count()  # the fixture exercises both sides
+
+    with tempfile.TemporaryDirectory(ignore_cleanup_errors=True) as d:
+        src = os.path.join(d, "src")
+        os.makedirs(src)
+        fixes.write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(
+            "image_id string, trace_id long, ts long, lat double, lon double"
+        ).parquet(src)
+        q = (
+            gate_fixes_stream(stream, zoom=16)
+            .writeStream.format("memory").queryName("gated_fixes")
+            .outputMode("append").option("checkpointLocation", os.path.join(d, "ck"))
+            .trigger(availableNow=True).start()
+        )
+        import time as _time
+
+        deadline = _time.time() + 240
+        while _time.time() < deadline and q.isActive:
+            n = spark.sql("select count(*) c from gated_fixes").first().c
+            if n >= len(batch) and not q.status["isDataAvailable"]:
+                break
+            _time.sleep(2)
+        q.stop()
+        got = spark.sql("select * from gated_fixes").toPandas()
+
+    key = ["image_id"]
+    a = batch[got.columns].sort_values(key).reset_index(drop=True)
+    b = got.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()), check_exact=True)
+
+
 def test_empty_and_malformed_inputs(spark, spark_network, images_pd):
     """Robustness at the ingest boundary: an empty images table flows
     through the whole pipeline as a schema-preserving no-op, and malformed

@@ -631,12 +631,16 @@ def offmap_traces(
 # ---------------------------------------------------------------------------
 
 
-def anonymity_gate(fixes: DataFrame, min_vehicles: int = MINIMUM_VEHICLE_COUNT) -> DataFrame:
+def anonymity_gate(
+    fixes: DataFrame, min_vehicles: int = MINIMUM_VEHICLE_COUNT, zoom: int = Z_AREA
+) -> DataFrame:
     """Drop fixes in z11 tiles observed by < min_vehicles distinct traces
     (VehicleStates.java:19,188-227).  A cross-key aggregate ⇒ a join
-    against a groupBy(count distinct) dim, not per-key state."""
-    with_tile = fixes.withColumn("ax", tile_x_col(F.col("lon"), Z_AREA)).withColumn(
-        "ay", tile_y_col(F.col("lat"), Z_AREA)
+    against a groupBy(count distinct) dim, not per-key state.  The
+    streaming twin is the per-tile release gate
+    (streaming/match_stream.gate_fixes_stream)."""
+    with_tile = fixes.withColumn("ax", tile_x_col(F.col("lon"), zoom)).withColumn(
+        "ay", tile_y_col(F.col("lat"), zoom)
     )
     counts = (
         with_tile.groupBy("ax", "ay")

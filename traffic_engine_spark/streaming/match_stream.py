@@ -16,9 +16,14 @@ fixture (tests/test_infra.py::test_streaming_kernel_matches_batch, plus the
 multi-microbatch variant that forces state round-trips mid-trace) via the
 foreachBatch-free memory sink.
 
-The anonymity gate (W3, ≥10 vehicles per tile) is a cross-key aggregate —
-approximated in streaming as a separate windowed count stream (documented
-deviation, SURVEY §7.4.6); batch mode gates exactly.
+The anonymity gate (W3, ≥10 vehicles per tile) is implemented as the
+reference's per-tile RELEASE gate (`gate_fixes_stream`: buffer a tile's
+fixes until MINIMUM_VEHICLE_COUNT distinct traces were seen, then release
+and pass through; never-opening tiles TTL-evict their buffer —
+VehicleStates.java:188-245).  On a finite input the released row set
+equals the batch `anonymity_gate` exactly (test_streaming_gate_matches_
+batch); compose gate → kernel as two stages (bronze→silver) when both
+stateful operators are needed in one flow.
 """
 
 from __future__ import annotations
@@ -193,6 +198,109 @@ def stream_speed_samples(fixes_stream: DataFrame, network_dicts) -> DataFrame:
             outputMode="append",
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# W3 — streaming anonymity gate (VehicleStates.java:188-245)
+# ---------------------------------------------------------------------------
+
+GATED_FIX_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("trace_id", T.LongType(), False),
+        T.StructField("ts", T.LongType(), False),
+        T.StructField("lat", T.DoubleType(), False),
+        T.StructField("lon", T.DoubleType(), False),
+    ]
+)
+
+GATE_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("open", T.BooleanType(), True),
+        T.StructField("traces", T.ArrayType(T.LongType()), True),
+        T.StructField("buf_img", T.ArrayType(T.StringType()), True),
+        T.StructField("buf_trace", T.ArrayType(T.LongType()), True),
+        T.StructField("buf_ts", T.ArrayType(T.LongType()), True),
+        T.StructField("buf_lat", T.ArrayType(T.DoubleType()), True),
+        T.StructField("buf_lon", T.ArrayType(T.DoubleType()), True),
+    ]
+)
+
+
+def gate_fixes_stream(
+    fixes_stream: DataFrame, min_vehicles: int = 10, zoom: int = 11
+) -> DataFrame:
+    """Streaming W3: the reference's RELEASE gate (VehicleStates.java:
+    188-227 — a tile's queued points process only once the tile holds
+    MINIMUM_VEHICLE_COUNT vehicles; under-threshold tiles buffer and are
+    TTL-evicted, :232-245).  Keyed by z11 tile: buffer fixes until
+    `min_vehicles` distinct traces were seen in the tile, then release the
+    buffer and pass everything through; never-opening tiles drop their
+    buffer at the state TTL — on a finite input this yields exactly the
+    batch `anonymity_gate` row set (test_streaming_gate_matches_batch)."""
+    from ..functions.cells import tile_x_np, tile_y_np
+
+    def kernel(key, pdf_iter, state: GroupState):
+        if state.hasTimedOut:  # tile never filled — reference eviction
+            state.remove()
+            yield pd.DataFrame(columns=[f.name for f in GATED_FIX_SCHEMA.fields])
+            return
+        if state.exists:
+            is_open, traces_raw, bi, bt, bts, bla, blo = state.get
+            traces = set(int(t) for t in (traces_raw or []))
+            buf = [list(bi or []), list(bt or []), list(bts or []),
+                   list(bla or []), list(blo or [])]
+        else:
+            is_open, traces = False, set()
+            buf = [[], [], [], [], []]
+
+        out = [[], [], [], [], []]
+        for pdf in pdf_iter:
+            for r in pdf.itertuples():
+                row = (str(r.image_id), int(r.trace_id), int(r.ts),
+                       float(r.lat), float(r.lon))
+                if is_open:
+                    for i in range(5):
+                        out[i].append(row[i])
+                    continue
+                traces.add(row[1])
+                for i in range(5):
+                    buf[i].append(row[i])
+                if len(traces) >= min_vehicles:
+                    is_open = True
+                    for i in range(5):
+                        out[i].extend(buf[i])
+                        buf[i] = []
+        state.update(
+            (
+                is_open, sorted(traces) if not is_open else [],
+                buf[0], buf[1], buf[2], buf[3], buf[4],
+            )
+        )
+        state.setTimeoutDuration(VEHICLE_INVALIDATION_TIME_MS)
+        yield pd.DataFrame(
+            {"image_id": out[0], "trace_id": out[1], "ts": out[2],
+             "lat": out[3], "lon": out[4]}
+        )
+
+    def add_tile(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["ax"] = tile_x_np(pdf["lon"].to_numpy(), zoom)
+            pdf["ay"] = tile_y_np(pdf["lat"].to_numpy(), zoom)
+            yield pdf
+
+    with_tile = fixes_stream.mapInPandas(
+        add_tile,
+        schema="image_id string, trace_id long, ts long, lat double, lon double, ax long, ay long",
+    )
+    return with_tile.groupBy("ax", "ay").applyInPandasWithState(
+        kernel,
+        outputStructType=GATED_FIX_SCHEMA,
+        stateStructType=GATE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
 
 
