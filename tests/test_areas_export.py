@@ -64,6 +64,46 @@ def test_geojson_export(spark, spark_network, tmp_path):
     assert all(isinstance(v, float) for v in pos)
 
 
+def test_offset_curve_display():
+    """C10 — parallel offset: every output vertex sits |offset| from its
+    source edge line, straight lines stay straight, and the export flag
+    offsets only two-way segments."""
+    import numpy as np
+
+    from traffic_engine_spark.functions.geodesy import offset_curve_np
+
+    # L-shaped polyline, offset right of travel by 1e-4
+    lons = np.array([0.0, 1e-3, 1e-3])
+    lats = np.array([0.0, 0.0, 1e-3])
+    ox, oy = offset_curve_np(lons, lats, 1e-4)
+    # first edge heads +x → right normal is -y
+    assert abs(oy[0] - (-1e-4)) < 1e-12 and abs(ox[0]) < 1e-12
+    # mitre corner: offset of both edges meet at (1e-3 + 1e-4, -1e-4)
+    assert abs(ox[1] - (1e-3 + 1e-4)) < 1e-12 and abs(oy[1] - (-1e-4)) < 1e-12
+    # second edge heads +y → right normal is +x
+    assert abs(ox[2] - (1e-3 + 1e-4)) < 1e-12 and abs(oy[2] - 1e-3) < 1e-12
+    # straight line: pure translation
+    sx, sy = offset_curve_np(np.array([0.0, 1e-3]), np.array([0.0, 0.0]), -2e-5)
+    assert np.allclose(sy, 2e-5) and np.allclose(sx, [0.0, 1e-3])
+
+
+def test_geojson_offset_display_flag(spark, spark_network):
+    segs, _, _ = spark_network
+    sample = segs.orderBy("segment_id").limit(10)
+    plain = json.loads(EX.segments_to_geojson(sample))
+    off = json.loads(EX.segments_to_geojson(sample, offset_display=True))
+    for f0, f1 in zip(plain["features"], off["features"]):
+        c0 = f0["geometry"]["coordinates"]
+        c1 = f1["geometry"]["coordinates"]
+        if f0["properties"]["oneway"]:
+            assert c0 == c1  # oneway segments render in place
+        else:
+            assert c0 != c1
+            # every offset vertex moved by ~|DISPLAY_OFFSET_DEG|
+            d0 = abs(c0[0][0] - c1[0][0]) + abs(c0[0][1] - c1[0][1])
+            assert 0 < d0 < 3 * abs(EX.DISPLAY_OFFSET_DEG)
+
+
 def test_welch_t_crit_lookup(spark):
     import pandas as pd
 

@@ -272,6 +272,46 @@ def bearing_at_index(lons: np.ndarray, lats: np.ndarray, index: float,
     return float(geo_initial_bearing_deg(x0, y0, x1, y1, mode))
 
 
+def offset_curve_np(lons: np.ndarray, lats: np.ndarray, offset_deg: float):
+    """C10 — parallel offset of a polyline in planar degree space with
+    mitre joins (recast of the reference's display-only JTS
+    OffsetCurveBuilder call, osm/OSMDataStore.java:130-139: two-way
+    segments are drawn offset by -0.000025° so both directions render
+    side by side).  JTS rounds joins with arcs; the mitre join here is the
+    documented deviation (display-only geometry, never used in matching).
+
+    Negative offset = left of travel direction (matches the reference's
+    negative constant).  Degenerate zero-length edges are dropped."""
+    p = np.stack([np.asarray(lons, dtype=np.float64), np.asarray(lats, dtype=np.float64)], axis=1)
+    d = np.diff(p, axis=0)
+    ln = np.hypot(d[:, 0], d[:, 1])
+    keep = ln > 0
+    if not keep.any():
+        return p[:, 0].copy(), p[:, 1].copy()
+    # collapse zero-length edges
+    p = np.concatenate([p[:1], p[1:][keep]], axis=0)
+    d = np.diff(p, axis=0)
+    ln = np.hypot(d[:, 0], d[:, 1])
+    # right-hand unit normal of each edge; offset>0 shifts right of travel
+    nx, ny = d[:, 1] / ln, -d[:, 0] / ln
+    a = p[:-1] + np.stack([nx, ny], 1) * offset_deg  # offset edge starts
+    b = p[1:] + np.stack([nx, ny], 1) * offset_deg   # offset edge ends
+    out = [a[0]]
+    for i in range(len(a) - 1):
+        # mitre: intersect offset edge i with edge i+1
+        r = b[i] - a[i]
+        s = b[i + 1] - a[i + 1]
+        denom = r[0] * s[1] - r[1] * s[0]
+        if abs(denom) < 1e-18:  # collinear/parallel — join at shared corner
+            out.append(b[i])
+        else:
+            t = ((a[i + 1][0] - a[i][0]) * s[1] - (a[i + 1][1] - a[i][1]) * s[0]) / denom
+            out.append(a[i] + r * t)
+    out.append(b[-1])
+    arr = np.asarray(out)
+    return arr[:, 0].copy(), arr[:, 1].copy()
+
+
 def polyline_length_m(lons: np.ndarray, lats: np.ndarray, mode: str = "wgs84") -> float:
     """Geodesic length: sum of per-edge distances
     (mirrors the accumulation in OSMDataStore.getStreetSegments:544-556)."""

@@ -529,6 +529,65 @@ def rollup_weeks(spark, sf_dir):
 
 
 @q(
+    "speed_percentiles",
+    f"""
+WITH {PTS_CTE}, {_HIST_CTE},
+agg AS (SELECT segment_key, speed_bin, CAST(sum(n) AS BIGINT) AS n
+        FROM hist GROUP BY segment_key, speed_bin),
+cum AS (SELECT segment_key, speed_bin, n,
+               sum(n) OVER (PARTITION BY segment_key ORDER BY speed_bin
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+               sum(n) OVER (PARTITION BY segment_key) AS total
+        FROM agg)
+SELECT segment_key,
+       min(CASE WHEN c >= total * 0.25 THEN speed_bin END) AS p25,
+       min(CASE WHEN c >= total * 0.5  THEN speed_bin END) AS p50,
+       min(CASE WHEN c >= total * 0.75 THEN speed_bin END) AS p75
+FROM cum GROUP BY segment_key
+""",
+)
+def speed_percentiles(spark, sf_dir):
+    """Quartiles from histogram rows (the BaselineTile export's percentile
+    fields, SURVEY Appendix A) — cumulative sum over speed bins."""
+    from .plans.stats import percentiles_from_histogram
+
+    hist = speed_histogram(spark, sf_dir).withColumnRenamed("segment_key", "segment_id")
+    return percentiles_from_histogram(hist).withColumnRenamed("segment_id", "segment_key")
+
+
+@q(
+    "summary_stats_hourly",
+    f"""
+WITH {PTS_CTE}, {_HIST_CTE},
+flt AS (SELECT * FROM hist WHERE hour_of_week IN (32, 33, 34)),
+seg AS (SELECT segment_key, CAST(sum(n) AS BIGINT) AS seg_n FROM flt GROUP BY segment_key),
+wtd AS (SELECT f.segment_key, f.hour_of_week,
+               f.n::DOUBLE / seg.seg_n AS w,
+               ((f.speed_bin - 0.5)/3.6) AS ms
+        FROM flt f JOIN seg ON f.segment_key = seg.segment_key)
+SELECT segment_key, hour_of_week,
+       round(sum(w), 6) AS count,
+       round(sum(ms * w) / sum(w), 6) AS mean_ms,
+       round(sqrt(sum(ms * ms * w) / sum(w) - pow(sum(ms * w) / sum(w), 2)), 6) AS stddev_ms
+FROM wtd GROUP BY segment_key, hour_of_week
+""",
+)
+def summary_stats_hourly(spark, sf_dir):
+    """A4/A5's hour-filter + per-hour keys + normalize branches
+    (SummaryStatistics.java:46-50 weight n/count(segment))."""
+    from .plans.stats import summary_stats as SS
+
+    hist = speed_histogram(spark, sf_dir).withColumnRenamed("segment_key", "segment_id")
+    out = SS(hist, by_hour=True, hours=[32, 33, 34], normalize=True)
+    return out.select(
+        F.col("segment_id").alias("segment_key"), "hour_of_week",
+        F.round("count", 6).alias("count"),
+        F.round("mean_ms", 6).alias("mean_ms"),
+        F.round("stddev_ms", 6).alias("stddev_ms"),
+    )
+
+
+@q(
     "welch_ttest",
     f"""
 WITH {PTS_CTE},

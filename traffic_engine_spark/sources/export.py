@@ -19,21 +19,38 @@ from ..config import Z_AREA
 from ..functions.cells import tile_x_col, tile_y_col
 
 
-def segments_to_geojson(segments: DataFrame, path: str | None = None) -> str:
+DISPLAY_OFFSET_DEG = -0.000025  # two-way display offset (OSMDataStore.java:132)
+
+
+def segments_to_geojson(
+    segments: DataFrame, path: str | None = None, offset_display: bool = False
+) -> str:
     """Street segments → GeoJSON FeatureCollection string (optionally
     written to `path`).  Driver-side assembly — the network dim is small;
     at planet scale write per-tile JSONL features instead
-    (`segments_to_geojson_files`)."""
+    (`segments_to_geojson_files`).
+
+    ``offset_display=True`` reproduces the reference's display rendering
+    (C10, osm/OSMDataStore.java:130-139): NON-oneway segments draw offset
+    by -0.000025° so the two directions render side by side
+    (functions/geodesy.offset_curve_np — mitre-join recast of JTS
+    OffsetCurveBuilder, display-only)."""
+    from ..functions.geodesy import offset_curve_np
+
     feats = []
     for r in segments.select(
         "segment_id", "way_id", "street_type", "oneway", "length_m", "lons", "lats"
     ).collect():
+        lons, lats = list(r.lons), list(r.lats)
+        if offset_display and not r.oneway:
+            ox, oy = offset_curve_np(lons, lats, DISPLAY_OFFSET_DEG)
+            lons, lats = ox.tolist(), oy.tolist()
         feats.append(
             {
                 "type": "Feature",
                 "geometry": {
                     "type": "LineString",
-                    "coordinates": [[x, y] for x, y in zip(r.lons, r.lats)],
+                    "coordinates": [[x, y] for x, y in zip(lons, lats)],
                 },
                 "properties": {
                     "segment_id": str(r.segment_id),
