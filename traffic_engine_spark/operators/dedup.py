@@ -143,8 +143,10 @@ def minhash_lsh_pairs(
         )
     )
     verified = (
-        cand.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
-        .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+        # candidate shingle sets are tiny (≤ 2·|cand| docs) — broadcast both
+        # verify sides so no shuffle follows the bucket stage
+        cand.join(F.broadcast(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a")), "doc_a")
+        .join(F.broadcast(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b")), "doc_b")
         .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")).cast("double"))
         .withColumn("uni", F.size(F.array_union("sh_a", "sh_b")).cast("double"))
         .withColumn("jaccard", F.round(F.col("inter") / F.col("uni"), 6))
