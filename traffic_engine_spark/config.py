@@ -79,9 +79,13 @@ class EngineConfig:
     carry_payload: bool = False
     # Planet-scale mode: no O(network) driver collects anywhere — segment
     # attrs ride the crossing rows (one extra equi-join, wider Arrow
-    # boundary) instead of driver-built broadcast dicts.  Default False:
-    # at city scale the 3-column Arrow boundary + tiny dicts is ~3× faster
-    # (BENCH.md), and both paths are output-identical (test_infra).
+    # boundary) instead of driver-built broadcast dicts.  Output-identical
+    # to the dict path (test_infra poisoned-collect test) and measured
+    # equal-or-FASTER warm at sf0.1/32 cores (3.7 s vs 4.3 s — building
+    # the dicts on the driver costs more than the extra broadcast join),
+    # so enable it for any network that could outgrow driver memory; the
+    # default stays False only to keep the recorded BENCH walls
+    # reproducible bit-for-bit.
     planet_scale: bool = False
 
 
