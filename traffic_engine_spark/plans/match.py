@@ -205,8 +205,15 @@ def find_crossings(
         F.greatest("lon", "p_lon"), F.greatest("lat", "p_lat"),
         zoom=Z_ITEM, margin=1,
     )
-    tl = F.broadcast(tripline_index) if broadcast_triplines else tripline_index
-    j = gps_cells.join(tl, ["tile_x", "tile_y"], "inner")
+    # join on ONE packed long key instead of (tile_x, tile_y): hashing a
+    # single-field UnsafeRow per probe measured 2× faster on the whole
+    # join stage at 53M rows / 333M probes (BENCH.md per-stage notes) —
+    # the probe side keeps its tile_x/tile_y columns for the output
+    packed_key = F.shiftleft(F.col("tile_x"), 32) + F.col("tile_y")
+    gps_cells = gps_cells.withColumn("_ck", packed_key)
+    tl_packed = tripline_index.withColumn("_ck", packed_key).drop("tile_x", "tile_y")
+    tl = F.broadcast(tl_packed) if broadcast_triplines else tl_packed
+    j = gps_cells.join(tl, "_ck", "inner")
 
     # J2 refine — LineSegment.intersectionDistance (LineSegment.java:17-43)
     rx, ry = F.col("lon") - F.col("p_lon"), F.col("lat") - F.col("p_lat")
