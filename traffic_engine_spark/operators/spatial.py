@@ -82,9 +82,16 @@ def knn_join_cells(
             (F.col("scy") + F.col("o.dy")).alias("cy"),
         )
     )
-    scored = p.join(s, ["cx", "cy"]).withColumn(
-        "dist2",
-        equirect_dist2(F.col("lat"), F.col("lon"), F.col("s_lat"), F.col("s_lon")),
+    # single packed long join key — hashing a one-field UnsafeRow per probe
+    # measured 2× over a two-field key at volume (BENCH.md per-stage notes)
+    pack = F.shiftleft(F.col("cx"), 32) + F.col("cy")
+    scored = (
+        p.withColumn("_ck", pack)
+        .join(s.withColumn("_ck", pack).drop("cx", "cy"), "_ck")
+        .withColumn(
+            "dist2",
+            equirect_dist2(F.col("lat"), F.col("lon"), F.col("s_lat"), F.col("s_lon")),
+        )
     )
     w = Window.partitionBy(point_id).orderBy(F.col("dist2"), F.col(station_id))
     return (

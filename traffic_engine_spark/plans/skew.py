@@ -46,7 +46,11 @@ def salted_join(
 
     probe rows in hot cells get salt = pmod(hash(probe_key), B); build rows
     in hot cells are replicated across all B salts.  Cold cells join with
-    salt 0 on both sides — plan-identical to the unsalted join for them."""
+    salt 0 on both sides — plan-identical to the unsalted join for them.
+
+    At volume, pre-pack multi-column cell keys into ONE long before calling
+    (cell_cols=["_ck"]) — single-field join-key hashing measured 2× over a
+    two-field key on the J1 join (BENCH.md)."""
     B = cfg.salt_buckets
     hot = hot_cells(probe, cell_cols, cfg.skew_cell_fraction).withColumn(
         "_hot", F.lit(True)
