@@ -1,0 +1,180 @@
+"""Materialized pyoracle outputs for the driver's DuckDB correctness gate.
+
+The traffic/multimodal pipeline entries run on the deterministic synthetic
+city (seed 42, sf-independent) rather than the driver's star-schema tables,
+so their oracle cannot be a plain SQL view over those tables.  The parity
+tests (tests/test_parity.py, test_multimodal.py) already check them
+exact-match against the pure-Python oracle (oracle/pyoracle.py — the
+declared transliteration of Vehicle.processVehicle / StatsDataStore.save,
+SURVEY §5 layer 2).  This module makes that same oracle *driver-visible*:
+it computes the expected outputs once, writes them to parquet under
+``<repo>/.oracle_cache/v{N}/`` and hands back ``SELECT … FROM
+read_parquet('…')`` oracle SQL per entry, so the driver's side-by-side
+DuckDB comparison covers the full pipeline instead of a rows-only check.
+
+Everything here is single-threaded numpy/pandas — no Spark — computed from
+the same datagen seeds the registered queries use.  Idempotent: a marker
+file keyed on ``_VERSION`` skips recomputation; bump ``_VERSION`` whenever
+any projection or oracle rule changes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import re
+
+import numpy as np
+import pandas as pd
+
+_VERSION = 1
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+ORACLE_DIR = os.path.join(_REPO_ROOT, ".oracle_cache", f"v{_VERSION}")
+
+ENTRIES = [
+    "traffic_crossings",
+    "traffic_speed_samples",
+    "traffic_offmap_traces",
+    "traffic_histograms",
+    "traffic_triplines",
+    "multimodal_resize",
+    "traffic_tile_invariants",
+]
+
+_CAPTION_RE = re.compile(r"trace=(-?\d+);ts=(-?\d+);lat=(-?[0-9.]+);lon=(-?[0-9.]+)")
+
+
+def _compute() -> dict[str, pd.DataFrame]:
+    from ..datagen.images_gen import images_from_fixes_pd
+    from ..datagen.osm_gen import generate_city
+    from ..datagen.trace_gen import generate_traces
+    from ..functions.cells import cell_pack_np, morton_np, tile_x_np, tile_y_np
+    from ..functions.images import (
+        decode_image,
+        encode_image,
+        extract_caption,
+        phash64,
+        psnr_db,
+        render_pixels,
+    )
+    from ..plans.multimodal import _resize_np
+    from . import pyoracle as O
+
+    nodes, ways, meta = generate_city(seed=42)
+    fixes = generate_traces(meta, seed=42)
+    net = O.build_network(nodes, ways)
+    crossings, samples = O.process_traces(fixes, net)
+    images_pd = images_from_fixes_pd(fixes)
+    out: dict[str, pd.DataFrame] = {}
+
+    # --- traffic_crossings: the J1+J2 join result rows -------------------
+    out["traffic_crossings"] = pd.DataFrame(crossings)[
+        ["trace_id", "seq", "time", "segment_id", "tripline_index",
+         "tripline_id", "dist", "tile_x", "tile_y"]
+    ].astype({"trace_id": np.int64, "seq": np.int64, "time": np.int64,
+              "segment_id": np.int64, "tripline_index": np.int64,
+              "tripline_id": np.int64, "tile_x": np.int64, "tile_y": np.int64})
+
+    # --- traffic_speed_samples: full kernel output -----------------------
+    out["traffic_speed_samples"] = pd.DataFrame(samples)[
+        ["trace_id", "segment_id", "time", "speed", "source", "end_time"]
+    ].astype({"trace_id": np.int64, "segment_id": np.int64,
+              "time": np.int64, "end_time": np.int64})
+
+    # --- traffic_offmap_traces: exploded polyline (scalar columns only;
+    # the driver's canonicalizer cannot sort/hash array cells) ------------
+    rows = []
+    for t in O.offmap_traces(samples, net, fixes):
+        base = (t["offmap_id"], t["trace_key"], t["trace_id"],
+                t["start_id"], t["end_id"], t["t0"], t["t1"])
+        if not t["lons"]:
+            rows.append(base + (-1, 0.0, 0.0))  # empty-polyline sentinel
+        else:
+            for i, (lo, la) in enumerate(zip(t["lons"], t["lats"])):
+                rows.append(base + (i, lo, la))
+    out["traffic_offmap_traces"] = pd.DataFrame(
+        rows, columns=["offmap_id", "trace_key", "trace_id", "start_id",
+                       "end_id", "t0", "t1", "pt_seq", "lon", "lat"]
+    ).astype({"offmap_id": np.int64, "trace_id": np.int64,
+              "start_id": np.int64, "end_id": np.int64, "t0": np.int64,
+              "t1": np.int64, "pt_seq": np.int64})
+
+    # --- traffic_histograms ----------------------------------------------
+    hist = O.histograms(samples)
+    out["traffic_histograms"] = pd.DataFrame(
+        [(k[0], k[1], k[2], k[3], v) for k, v in hist.items()],
+        columns=["segment_id", "week", "hour_of_week", "speed_bin", "n"],
+    ).astype(np.int64)
+
+    # --- traffic_triplines -------------------------------------------------
+    out["traffic_triplines"] = pd.DataFrame(
+        [(t.tripline_id, t.segment_id, t.index, t.dist,
+          t.lons[0], t.lats[0], t.lons[1], t.lats[1])
+         for t in net.triplines],
+        columns=["tripline_id", "segment_id", "tripline_index", "dist_m",
+                 "lon0", "lat0", "lon1", "lat1"],
+    ).astype({"tripline_id": np.int64, "segment_id": np.int64,
+              "tripline_index": np.int64})
+
+    # --- multimodal_resize: same deterministic codec, single-threaded ----
+    rows = []
+    for r in images_pd.itertuples(index=False):
+        px = _resize_np(decode_image(bytes(r.bytes)), 16, 12)
+        enc = encode_image(px, r.fmt)
+        rows.append((r.image_id, 16, 12, r.fmt, phash64(px), len(enc),
+                     hashlib.md5(enc).hexdigest()))
+    out["multimodal_resize"] = pd.DataFrame(
+        rows, columns=["image_id", "w", "h", "fmt", "phash", "byte_len", "bytes_md5"]
+    ).astype({"w": np.int64, "h": np.int64, "phash": np.int64, "byte_len": np.int64})
+
+    # --- traffic_tile_invariants: tile assignment (caption-parsed, exactly
+    # like the engine) + payload invariants -------------------------------
+    caps = images_pd["caption"].map(lambda c: _CAPTION_RE.search(c).groups())
+    lat = np.array([float(g[2]) for g in caps], dtype=np.float64)
+    lon = np.array([float(g[3]) for g in caps], dtype=np.float64)
+    x18, y18 = tile_x_np(lon, 18), tile_y_np(lat, 18)
+    inv_rows = []
+    for r in images_pd.itertuples(index=False):
+        px = decode_image(bytes(r.bytes))
+        canon = render_pixels(r.caption, int(r.w), int(r.h))
+        p = psnr_db(canon, px)
+        lossless = r.fmt == "png"
+        bytes_ok = bool(np.array_equal(canon, px)) if lossless else bool(p >= 40.0)
+        try:
+            cap_ok = extract_caption(px) == r.caption
+        except Exception:
+            cap_ok = False
+        inv_rows.append((bytes_ok, cap_ok,
+                         phash64(px) == int(r.phash) if lossless else True,
+                         float(min(p, 1e9))))
+    inv = pd.DataFrame(inv_rows, columns=["bytes_ok", "caption_ok", "phash_ok", "psnr_db"])
+    out["traffic_tile_invariants"] = pd.DataFrame({
+        "image_id": images_pd["image_id"],
+        "tile_x11": tile_x_np(lon, 11).astype(np.int64),
+        "tile_y11": tile_y_np(lat, 11).astype(np.int64),
+        "tile_x18": x18.astype(np.int64),
+        "tile_y18": y18.astype(np.int64),
+        "cell": cell_pack_np(x18, y18, 18).astype(np.int64),
+        "morton": morton_np(x18, y18).astype(np.int64),
+        "bytes_ok": inv["bytes_ok"],
+        "caption_ok": inv["caption_ok"],
+        "phash_ok": inv["phash_ok"],
+        "psnr_db": inv["psnr_db"],
+    })
+    return out
+
+
+def ensure_pipeline_oracles() -> dict[str, str]:
+    """Idempotently materialize the expected parquet files and return
+    {entry_name: duckdb_oracle_sql}.  Recomputes only when the version
+    marker is absent (first run / after a _VERSION bump)."""
+    marker = os.path.join(ORACLE_DIR, "_DONE")
+    paths = {n: os.path.join(ORACLE_DIR, f"{n}.parquet") for n in ENTRIES}
+    if not (os.path.exists(marker) and all(os.path.exists(p) for p in paths.values())):
+        os.makedirs(ORACLE_DIR, exist_ok=True)
+        expected = _compute()
+        for n in ENTRIES:
+            expected[n].to_parquet(paths[n], index=False)
+        with open(marker, "w") as f:
+            f.write(str(_VERSION))
+    return {n: f"SELECT * FROM read_parquet('{paths[n]}')" for n in ENTRIES}

@@ -1370,11 +1370,27 @@ def traffic_speed_samples(spark, sf_dir):
 @q("traffic_offmap_traces", None)
 def traffic_offmap_traces(spark, sf_dir):
     """OffMapTrace (geom/OffMapTrace.java:6-21): polylines between map exit
-    and re-entry — exact-match vs oracle in pytest (test_offmap_traces_exact)."""
+    and re-entry — exact-match vs oracle in pytest (test_offmap_traces_exact).
+
+    Driver surface: the polyline arrays are exploded to one scalar row per
+    point (pt_seq, lon, lat; empty polyline ⇒ sentinel (-1, 0.0, 0.0)) —
+    the driver's canonicalizer sorts/hashes every column and cannot
+    factorize array cells.  Library callers use plans.match.offmap_traces
+    for the array-typed form."""
     from .plans import match as M
 
     images, segs, tls, jumpers, crossings, samples = _pipeline(spark)
-    return M.offmap_traces(spark, samples, segs, jumpers, M.decode_fixes(images))
+    traces = M.offmap_traces(spark, samples, segs, jumpers, M.decode_fixes(images))
+    pts = F.arrays_zip(F.col("lons").alias("lon"), F.col("lats").alias("lat"))
+    return traces.select(
+        "offmap_id", "trace_key", "trace_id", "start_id", "end_id", "t0", "t1",
+        F.posexplode_outer(pts).alias("pos", "pt"),
+    ).select(
+        "offmap_id", "trace_key", "trace_id", "start_id", "end_id", "t0", "t1",
+        F.coalesce(F.col("pos"), F.lit(-1)).cast("long").alias("pt_seq"),
+        F.coalesce(F.col("pt.lon"), F.lit(0.0)).alias("lon"),
+        F.coalesce(F.col("pt.lat"), F.lit(0.0)).alias("lat"),
+    )
 
 
 @q("traffic_histograms", None)
@@ -1392,10 +1408,23 @@ def traffic_triplines(spark, sf_dir):
 @q("multimodal_resize", None)
 def multimodal_resize(spark, sf_dir):
     """Multimodal resize plumbing (decode → numpy resample → re-encode →
-    pHash) over the image table — invariants tested in test_multimodal."""
+    pHash) over the image table — invariants tested in test_multimodal.
+
+    Driver surface: raw bytes are projected to (byte_len, bytes_md5) so the
+    oracle hash compares the exact payload without shipping binary cells
+    through the canonicalizer."""
     from .plans import multimodal as MM
 
-    return MM.resize_images(_pipeline(spark)[0], 16, 12)
+    resized = MM.resize_images(_pipeline(spark)[0], 16, 12)
+    return resized.select(
+        "image_id",
+        F.col("w").cast("long").alias("w"),
+        F.col("h").cast("long").alias("h"),
+        "fmt",
+        "phash",
+        F.length("bytes").cast("long").alias("byte_len"),
+        F.md5("bytes").alias("bytes_md5"),
+    )
 
 
 @q("traffic_tile_invariants", None)
@@ -1413,4 +1442,16 @@ def queries():
 
 
 def oracle_sql():
-    return {name: sql for name, (fn, sql) in REGISTRY.items() if sql is not None}
+    out = {name: sql for name, (fn, sql) in REGISTRY.items() if sql is not None}
+    # the pipeline/multimodal family runs on the deterministic synthetic
+    # city, not the star schema — its oracle is the pure-Python reference
+    # transliteration, materialized to parquet for DuckDB (SURVEY §5 layer
+    # 2 made driver-visible).  On any failure fall back to rows-only for
+    # these entries rather than poisoning the whole registry.
+    try:
+        from .oracle.materialize import ensure_pipeline_oracles
+
+        out.update(ensure_pipeline_oracles())
+    except Exception:
+        pass
+    return out
