@@ -78,16 +78,17 @@ def main():
     timings["traffic_pipeline"] = round(time.time() - t0, 3)
     log(f"pipeline: {n_hist} hist rows in {timings['traffic_pipeline']}s")
 
-    # --- planet-scale mode: same pipeline, zero O(network) driver collects
+    # --- dict-path A/B: the pre-planet broadcast-dict kernel feed
+    # (planet_scale=False; the default run above IS planet mode now)
     from traffic_engine_spark.config import EngineConfig
 
     t0 = time.time()
     _, samples_p = M.run_pipeline(
-        spark, images, tls, segs, jumpers, EngineConfig(planet_scale=True)
+        spark, images, tls, segs, jumpers, EngineConfig(planet_scale=False)
     )
     n_hist_p = S.histograms(samples_p).count()
-    timings["traffic_pipeline_planet"] = round(time.time() - t0, 3)
-    log(f"pipeline(planet): {n_hist_p} hist rows in {timings['traffic_pipeline_planet']}s")
+    timings["traffic_pipeline_dict"] = round(time.time() - t0, 3)
+    log(f"pipeline(dict A/B): {n_hist_p} hist rows in {timings['traffic_pipeline_dict']}s")
 
     # --- HEADLINE: tile assignment over every image row -------------------
     t0 = time.time()

@@ -199,16 +199,18 @@ def test_planet_mode_pipeline_identical_no_collect(spark, spark_network, images_
     segs, tls, jumpers_pd = spark_network
     images = spark.createDataFrame(images_pd)
 
-    base_cfg = EngineConfig()
+    # dict path is the A/B fixture now that planet_scale is the default
+    base_cfg = EngineConfig(planet_scale=False)
     _, samples_dict = M.run_pipeline(spark, images, tls, segs, jumpers_pd, base_cfg)
     a = samples_dict.toPandas()
 
-    planet_cfg = EngineConfig(planet_scale=True)
+    planet_cfg = EngineConfig()  # default IS planet mode — assert that below
     orig_collect = SparkDF.collect
 
     def poisoned(self, *args, **kwargs):
         raise AssertionError("planet_scale path must not collect() to the driver")
 
+    assert planet_cfg.planet_scale, "planet_scale must be the default config"
     monkeypatch.setattr(SparkDF, "collect", poisoned)
     try:
         _, samples_planet = M.run_pipeline(spark, images, tls, segs, jumpers_pd, planet_cfg)
@@ -273,6 +275,40 @@ def test_embedding_lsh_recall_vs_brute(spark):
         assert v == bset[k]  # identical cosine values
     recall = len(lset) / max(len(bset), 1)
     assert recall >= 0.5, f"LSH recall {recall:.2f} too low for 8 planes"
+
+
+def test_ngram_prefix_matches_quadratic(spark):
+    """Prefix filtering (AllPairs) is EXACT: identical (doc_a, doc_b,
+    jaccard) rows to the blocked-quadratic path — the hot-block scale
+    fallback loses nothing at the threshold."""
+    from traffic_engine_spark.operators import dedup as D
+
+    # synthetic near-dup corpus: 60 docs over a sliding word window so
+    # neighbours overlap at a spread of jaccard values around the 0.1
+    # threshold, in 2 blocks (plus the real sf0.01 table below)
+    words = [f"w{i}" for i in range(120)]
+    rows = []
+    for i in range(60):
+        rows.append((i, "en" if i % 2 else "de", f"s{i % 3}",
+                     " ".join(words[i: i + 25 + (i % 7)])))
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, source string, text string")
+    for frame in (docs, spark.read.parquet("/root/testdata/sf0.01/documents.parquet")):
+        quad = D.ngram_jaccard_pairs(frame, block_cols=["lang", "source"]).toPandas()
+        pref = D.ngram_jaccard_prefix_pairs(frame, block_cols=["lang", "source"]).toPandas()
+        assert len(quad) > 0
+        key = ["doc_a", "doc_b"]
+        a = quad.sort_values(key).reset_index(drop=True)
+        b = pref[quad.columns].sort_values(key).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b, check_exact=True)
+
+
+def test_embedding_cosine_bruteforce_guard(spark):
+    """The O(n²) yardstick refuses unbounded inputs: > max_rows raises."""
+    from traffic_engine_spark.operators import dedup as D
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    with pytest.raises(ValueError, match="brute-force yardstick"):
+        D.embedding_cosine_pairs(emb, min_cosine=0.3, max_rows=10)
 
 
 def test_simhash_pairs_pigeonhole_complete(spark):

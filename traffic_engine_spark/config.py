@@ -77,16 +77,15 @@ class EngineConfig:
     salt_buckets: int = 8
     # Column-pruning guard: never carry `bytes` through shuffles (SURVEY §7.4.5)
     carry_payload: bool = False
-    # Planet-scale mode: no O(network) driver collects anywhere — segment
-    # attrs ride the crossing rows (one extra equi-join, wider Arrow
-    # boundary) instead of driver-built broadcast dicts.  Output-identical
-    # to the dict path (test_infra poisoned-collect test) and measured
-    # equal-or-FASTER warm at sf0.1/32 cores (3.7 s vs 4.3 s — building
-    # the dicts on the driver costs more than the extra broadcast join),
-    # so enable it for any network that could outgrow driver memory; the
-    # default stays False only to keep the recorded BENCH walls
-    # reproducible bit-for-bit.
-    planet_scale: bool = False
+    # Planet-scale mode (DEFAULT): no O(network) driver collects anywhere —
+    # segment attrs ride the crossing rows (one extra equi-join, wider
+    # Arrow boundary) instead of driver-built broadcast dicts.
+    # Output-identical to the dict path (test_infra poisoned-collect test)
+    # and measured equal-or-FASTER warm at sf0.1/32 cores (3.7 s vs
+    # 4.3 s — building the dicts on the driver costs more than the extra
+    # broadcast join).  The dict path survives as planet_scale=False, a
+    # test/A-B fixture only: at 10⁸ segments it dies on driver memory.
+    planet_scale: bool = True
 
 
 DEFAULT_CONFIG = EngineConfig()

@@ -97,6 +97,10 @@ def minhash_lsh_pairs(
     slice — a bounded-cardinality equi-join (the canonical LSH shuffle).
     With the one-pass signature array, band keys are slice+md5 projections:
     the whole plan up to the bucket groupBy is shuffle-free."""
+    assert n_hashes % band_size == 0, (
+        f"band_size {band_size} must divide n_hashes {n_hashes} — a partial "
+        "trailing band would silently drop candidate recall"
+    )
     sig = minhash_signature_array(docs, text_col, n_hashes, shingle_k)
     n_bands = n_hashes // band_size
     band_keys = F.array(*[
@@ -196,6 +200,10 @@ def simhash_pairs(
     approximate).  The band equi-join is the canonical bounded-key LSH
     shuffle; the Hamming check is bit_count(xor) — pure codegen."""
     assert n_bands > max_hamming, "pigeonhole completeness requires n_bands > max_hamming"
+    assert bits % n_bands == 0, (
+        f"n_bands {n_bands} must divide bits {bits} — uncovered top bits "
+        "would break the exact-completeness guarantee"
+    )
     band_bits = bits // n_bands
     mask = (1 << band_bits) - 1
     sig = simhash(docs, text_col, bits)
@@ -234,7 +242,8 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Blocked pairwise n-gram Jaccard: pairs share the blocking key
     (e.g. (lang, source)), the quadratic blow-up is bounded per block.
-    Skewed blocks at scale: salt the block key or fall back to LSH."""
+    Skewed/hot blocks at scale: use `ngram_jaccard_prefix_pairs` — exact
+    same output, prefix-filtered candidates instead of the block cross."""
     sh = docs.select(
         *block_cols, "doc_id", ws_tokens(F.col(text_col)).alias("toks")
     ).select(
@@ -259,13 +268,93 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_jaccard_prefix_pairs(
+    docs: DataFrame,
+    block_cols: list[str],
+    text_col: str = "text",
+    shingle_k: int = 3,
+    min_jaccard: float = 0.1,
+) -> DataFrame:
+    """Scale path for blocked n-gram Jaccard: prefix filtering
+    (AllPairs/PPJoin, Bayardo et al. WWW'07 / Xiao et al. WWW'08) instead
+    of the in-block cartesian product — EXACT, not approximate, so the
+    output is identical to `ngram_jaccard_pairs` at any scale (tested:
+    test_ngram_prefix_matches_quadratic).
+
+    Under a global shingle order, any pair with |A∩B| ≥ ⌈t·max(|A|,|B|)⌉
+    (implied by J ≥ t) must collide on the first |X| - ⌈t·|X|⌉ + 1
+    shingles of each side, so candidates come from an equi-join on
+    (block, prefix shingle) only.  Ordering shingles by ascending document
+    frequency puts the RAREST shingles in the prefixes, which is what
+    bounds the join fan-out on a skewed hot block: a shingle shared by
+    every doc of a 10⁷-doc block lands in essentially no prefix, while the
+    quadratic path would cross the whole block.  Per-block df keeps the
+    order consistent within every candidate pair (pairs never span
+    blocks).  Shuffles: shingle explode → df agg → rank window →
+    candidate equi-join → verify joins — all on bounded keys."""
+    sh = docs.select(
+        *block_cols, "doc_id", ws_tokens(F.col(text_col)).alias("toks")
+    ).select(
+        *block_cols, "doc_id",
+        F.array_distinct(shingles_from_tokens(F.col("toks"), shingle_k)).alias("sh"),
+    )
+    ex = sh.select(
+        *block_cols, "doc_id", F.size("sh").alias("sz"), F.explode("sh").alias("s")
+    )
+    df_tab = ex.groupBy(*block_cols, "s").agg(F.count(F.lit(1)).alias("df"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*block_cols, "doc_id").orderBy("df", "s")
+    # FP-safe ceil: t·sz can land at 3.0000000000000004 (shorter prefix =
+    # recall loss), so nudge below the integer before ceiling
+    need = F.ceil(F.lit(min_jaccard) * F.col("sz").cast("double") - F.lit(1e-9))
+    pref = (
+        ex.join(df_tab, [*block_cols, "s"])
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= F.col("sz") - need + 1)
+        .select(*block_cols, "doc_id", "s")
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    on = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols] + [
+        F.col("a.s") == F.col("b.s")
+    ]
+    cand = (
+        a.join(b, on)
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sets = sh.select("doc_id", "sh")
+    return (
+        cand.join(sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
+        .join(sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")).cast("double"))
+        .withColumn("uni", F.size(F.array_union("sh_a", "sh_b")).cast("double"))
+        .withColumn("jaccard", F.round(F.col("inter") / F.col("uni"), 6))
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 def embedding_cosine_pairs(
-    emb: DataFrame, min_cosine: float = 0.9, id_col: str = "vec_id", vec_col: str = "embedding"
+    emb: DataFrame, min_cosine: float = 0.9, id_col: str = "vec_id", vec_col: str = "embedding",
+    max_rows: int = 100_000,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine ≥ threshold (a < b).
 
-    Brute-force O(n²) — correct baseline for small/blocked sets; the scale
-    path is `embedding_lsh_pairs` (multi-band bucketed candidates)."""
+    Brute-force O(n²) yardstick — the exact-recall baseline for small or
+    pre-blocked sets; the scale path is `embedding_lsh_pairs` (multi-band
+    bucketed candidates).  Guarded: raises if the input exceeds
+    ``max_rows`` so a caller cannot accidentally launch an unbounded
+    cartesian product at corpus scale (one cheap count() before the plan —
+    negligible next to the n² join it fences)."""
+    n = emb.count()
+    if n > max_rows:
+        raise ValueError(
+            f"embedding_cosine_pairs is the O(n²) brute-force yardstick: "
+            f"{n} input vectors > max_rows={max_rows}; use "
+            "embedding_lsh_pairs (bucketed LSH) at this scale"
+        )
     from ..functions.vectors import dot, norm
 
     a = emb.select(

@@ -105,12 +105,17 @@ def area_zone_offsets(
         ((tile2lat_col(F.col("ay"), Z_AREA) + tile2lat_col(F.col("ay") + 1, Z_AREA)) / 2).alias("lat"),
     )
     assigned = pip_assign_winding(centres, tz_polygons_pd)
-    mapping = F.create_map(
-        *[F.lit(v) for kv in tz_offsets_ms.items() for v in kv]
-    )
+    if tz_offsets_ms:
+        mapping = F.create_map(
+            *[F.lit(v) for kv in tz_offsets_ms.items() for v in kv]
+        )
+        offset = F.coalesce(mapping[F.col("poly_id")], F.lit(0))
+    else:
+        # no-arg create_map types as map<string,string> and fails analysis
+        # on a long lookup — empty offsets means the documented 0 fallthrough
+        offset = F.lit(0)
     return assigned.select(
-        "ax", "ay",
-        F.coalesce(mapping[F.col("poly_id")], F.lit(0)).cast("long").alias("zone_offset_ms"),
+        "ax", "ay", offset.cast("long").alias("zone_offset_ms"),
     )
 
 

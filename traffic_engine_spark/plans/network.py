@@ -310,6 +310,14 @@ def build_jumpers_sharded(spark: SparkSession, segments: DataFrame) -> DataFrame
         labels = prop
         if changed == 0:
             break
+    else:
+        # a component with hop-diameter > 64 would be silently split and
+        # diverge from the global fold — fail loudly instead
+        raise RuntimeError(
+            "build_jumpers_sharded: min-label propagation did not converge "
+            f"in 64 iterations ({changed} labels still moving); the "
+            "short-segment graph has a component with hop-diameter > 64"
+        )
 
     comp = short.join(
         labels.select(

@@ -1065,6 +1065,29 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 
 @q(
+    "dedup_ngram_prefix",
+    f"""
+WITH norm AS (SELECT doc_id, lang, source, {_SQL_TOKS} AS toks FROM documents),
+shset AS (SELECT doc_id, lang, source, list_distinct({_SQL_SHINGLES3}) AS sh FROM norm)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(len(list_intersect(a.sh, b.sh))::DOUBLE
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE, 6) AS jaccard
+FROM shset a JOIN shset b
+  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE >= 0.1
+""",
+)
+def dedup_ngram_prefix(spark, sf_dir):
+    """Prefix-filtered (AllPairs) blocked Jaccard — the hot-block scale
+    path; provably identical output to dedup_ngram_jaccard, so it shares
+    the exact-Jaccard oracle."""
+    return dedup.ngram_jaccard_prefix_pairs(
+        _t(spark, sf_dir, "documents"), block_cols=["lang", "source"]
+    )
+
+
+@q(
     "dedup_embedding_cosine",
     """
 WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings)
@@ -1079,6 +1102,8 @@ WHERE round(list_dot_product(a.embedding, b.embedding)
 """,
 )
 def dedup_embedding_cosine(spark, sf_dir):
+    """Brute-force cosine yardstick — row-count-guarded (raises > 100k
+    vectors); the registered scale path is dedup_embedding_lsh."""
     return dedup.embedding_cosine_pairs(_t(spark, sf_dir, "embeddings"), min_cosine=0.3)
 
 
