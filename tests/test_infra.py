@@ -188,6 +188,32 @@ def test_streaming_multi_microbatch_matches_batch(spark, spark_network, images_p
     _assert_samples_equal(batch, got)
 
 
+def test_streaming_offmap_matches_batch(spark, spark_network, images_pd):
+    """S9 on the stream (medallion wiring): off-map traces derived from the
+    multi-microbatch streamed samples must equal the batch plan's rows
+    exactly — ids, windows, and polyline coords."""
+    from traffic_engine_spark.streaming.match_stream import offmap_traces_from_stream
+
+    segs, tls, jumpers_pd = spark_network
+    fixes = M.decode_fixes(spark.createDataFrame(images_pd))
+
+    batch_samples = _batch_samples(spark, spark_network, images_pd)
+    streamed = _run_stream(spark, spark_network, images_pd, "stream_offmap_src",
+                           n_slices=4, expected_rows=len(batch_samples))
+    want = M.offmap_traces(
+        spark, spark.createDataFrame(batch_samples), segs, jumpers_pd, fixes
+    ).toPandas()
+    got = offmap_traces_from_stream(spark, streamed, segs, jumpers_pd, fixes).toPandas()
+    assert len(want) > 0
+    for df in (want, got):
+        df["lons"] = df["lons"].apply(tuple)
+        df["lats"] = df["lats"].apply(tuple)
+    key = ["offmap_id"]
+    a = want.sort_values(key).reset_index(drop=True)
+    b = got[want.columns].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()), check_exact=True)
+
+
 def test_planet_mode_pipeline_identical_no_collect(spark, spark_network, images_pd, monkeypatch):
     """cfg.planet_scale must (a) produce bit-identical speed samples and
     (b) never .collect() O(network) data to the driver — asserted by
@@ -300,6 +326,51 @@ def test_ngram_prefix_matches_quadratic(spark):
         a = quad.sort_values(key).reset_index(drop=True)
         b = pref[quad.columns].sort_values(key).reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b, check_exact=True)
+
+
+def test_range_join_banded_matches_postfilter(spark):
+    """The banded range join (bounded per-key fan-out) must return exactly
+    the post-filter plan's rows — on the TPC-H fixture AND on a skewed
+    single-key fixture where the unbanded equi-join would cross the whole
+    group."""
+    from traffic_engine_spark.operators import relational as R
+
+    sf = "/root/testdata/sf0.01"
+    o = spark.read.parquet(f"{sf}/orders.parquet").withColumn(
+        "win_end", F.expr("o_orderdate + INTERVAL 60 DAY")
+    )
+    li = spark.read.parquet(f"{sf}/lineitem.parquet").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    args = dict(on="o_orderkey", left_lo="o_orderdate", left_hi="win_end",
+                right_point="l_shipdate")
+    base = R.range_join(o, li, **args).groupBy("o_orderkey").count().toPandas()
+    band = R.range_join(o, li, band_width=64 * 86_400_000, **args).groupBy("o_orderkey").count().toPandas()
+    key = ["o_orderkey"]
+    pd.testing.assert_frame_equal(
+        base.sort_values(key).reset_index(drop=True),
+        band.sort_values(key).reset_index(drop=True),
+        check_exact=True,
+    )
+
+    # skewed: ONE key, 500 intervals × 2000 points — banding must agree,
+    # including intervals spanning band boundaries and on=None
+    left = spark.range(500).select(
+        F.lit(7).alias("k"), (F.col("id") * 13 % 5000).alias("lo"),
+        (F.col("id") * 13 % 5000 + 37).alias("hi"),
+    )
+    right = spark.range(2000).select(
+        F.lit(7).alias("k"), (F.col("id") * 7 % 5000).alias("pt"), F.col("id").alias("rid")
+    )
+    for on in ("k", None):
+        a = R.range_join(left, right, on, "lo", "hi", "pt").toPandas()
+        b = R.range_join(left, right, on, "lo", "hi", "pt", band_width=32).toPandas()
+        keys = ["lo", "hi", "rid"]
+        pd.testing.assert_frame_equal(
+            a[keys].sort_values(keys).reset_index(drop=True),
+            b[keys].sort_values(keys).reset_index(drop=True),
+            check_exact=True,
+        )
 
 
 def test_embedding_cosine_bruteforce_guard(spark):

@@ -145,6 +145,9 @@ def minhash_lsh_pairs(
             "doc_id",
             F.array_distinct(shingles_from_tokens(F.col("toks"), shingle_k)).alias("sh"),
         )
+        # tiny (≤ 2·|cand| docs) — materialise once so the two broadcast
+        # verify sides don't each re-run the candidate tokenisation
+        .localCheckpoint()
     )
     verified = (
         # candidate shingle sets are tiny (≤ 2·|cand| docs) — broadcast both

@@ -49,19 +49,60 @@ def asof_join(
     return carried.filter(F.col("_side") == 1).drop("_side", "_ats", *right_cols)
 
 
+def _range_long(df: DataFrame, col: str):
+    """Numeric image of a range-join bound: dates → epoch days,
+    timestamps → epoch millis, numerics → as-is (double-safe)."""
+    t = dict(df.dtypes)[col]
+    c = F.col(col)
+    if t == "date":
+        return F.unix_date(c)
+    if t.startswith("timestamp"):
+        # NTZ needs an explicit instant cast first (session TZ is UTC
+        # throughout the engine, so this is deterministic)
+        return F.unix_millis(c.cast("timestamp"))
+    return c
+
+
 def range_join(
     left: DataFrame,
     right: DataFrame,
-    on: str,
+    on: str | None,
     left_lo: str,
     left_hi: str,
     right_point: str,
+    band_width: int | None = None,
 ) -> DataFrame:
-    """Equi-key + interval containment.  Catalyst executes as the equi-join
-    with the range as a post-filter; at scale add a bucketized band key
-    (floor(point/width)) to both sides to bound the per-key fan-out."""
-    return left.join(right, on).filter(
-        F.col(right_point).between(F.col(left_lo), F.col(left_hi))
+    """Equi-key + interval containment.
+
+    ``band_width=None``: the equi-join with the range as a post-filter —
+    fine when the equi key alone bounds the fan-out.  With ``band_width``
+    set (in the bound's native units: days for dates, ms for timestamps),
+    each left interval explodes over the bands it covers and each right
+    point carries its single band ``floor(point/width)``, so the join key
+    becomes (on, band): a skewed equi key no longer crosses its whole
+    group, only the rows within ± one band of each interval.  EXACT — a
+    qualifying pair shares exactly the point's band (no dedup needed), and
+    the containment post-filter drops same-band non-matches.  Pick
+    band_width ≈ the typical interval span: each interval then covers ≤ 2
+    bands (bounded explode).  ``on=None`` gives the pure interval join
+    (band is the whole key)."""
+    if band_width is None:
+        return left.join(right, on).filter(
+            F.col(right_point).between(F.col(left_lo), F.col(left_hi))
+        )
+    lo, hi = _range_long(left, left_lo), _range_long(left, left_hi)
+    bands = F.sequence(
+        F.floor(lo / F.lit(band_width)), F.floor(hi / F.lit(band_width))
+    )
+    l_banded = left.withColumn("_band", F.explode(bands))
+    r_banded = right.withColumn(
+        "_band", F.floor(_range_long(right, right_point) / F.lit(band_width))
+    )
+    keys = ["_band"] if on is None else [on, "_band"]
+    return (
+        l_banded.join(r_banded, keys)
+        .filter(F.col(right_point).between(F.col(left_lo), F.col(left_hi)))
+        .drop("_band")
     )
 
 

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.cells import cell_of_col, grid_disk_offsets, tile_x_col, tile_y_col
+from ..functions.cells import cell_of_col, grid_disk_offsets, pack_xy, tile_x_col, tile_y_col
 
 
 def equirect_dist2(lat_a, lon_a, lat_b, lon_b):
@@ -82,9 +82,9 @@ def knn_join_cells(
             (F.col("scy") + F.col("o.dy")).alias("cy"),
         )
     )
-    # single packed long join key — hashing a one-field UnsafeRow per probe
-    # measured 2× over a two-field key at volume (BENCH.md per-stage notes)
-    pack = F.shiftleft(F.col("cx"), 32) + F.col("cy")
+    # single packed long join key (functions/cells.pack_xy) — 2× over a
+    # two-field key at volume
+    pack = pack_xy(F.col("cx"), F.col("cy"))
     scored = (
         p.withColumn("_ck", pack)
         .join(s.withColumn("_ck", pack).drop("cx", "cy"), "_ck")

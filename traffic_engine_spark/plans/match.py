@@ -39,7 +39,7 @@ from ..config import (
 )
 from ..functions.binning import coerce_ms_col
 from ..functions.ids import tripline_id_py
-from ..functions.cells import explode_bbox_cover, tile_x_col, tile_y_col
+from ..functions.cells import explode_bbox_cover, pack_xy, tile_x_col, tile_y_col
 
 # ---------------------------------------------------------------------------
 # stage 1 — geotag decode (caption is authoritative; FIXTURES.md §1)
@@ -210,11 +210,10 @@ def find_crossings(
         F.greatest("lon", "p_lon"), F.greatest("lat", "p_lat"),
         zoom=Z_ITEM, margin=1,
     )
-    # join on ONE packed long key instead of (tile_x, tile_y): hashing a
-    # single-field UnsafeRow per probe measured 2× faster on the whole
-    # join stage at 53M rows / 333M probes (BENCH.md per-stage notes) —
-    # the probe side keeps its tile_x/tile_y columns for the output
-    packed_key = F.shiftleft(F.col("tile_x"), 32) + F.col("tile_y")
+    # join on ONE packed long key instead of (tile_x, tile_y) — see
+    # functions/cells.pack_xy (measured 2× on this join stage); the probe
+    # side keeps its tile_x/tile_y columns for the output
+    packed_key = pack_xy(F.col("tile_x"), F.col("tile_y"))
     gps_cells = gps_cells.withColumn("_ck", packed_key)
     tl_packed = tripline_index.withColumn("_ck", packed_key).drop("tile_x", "tile_y")
     tl = F.broadcast(tl_packed) if broadcast_triplines else tl_packed

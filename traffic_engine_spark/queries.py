@@ -819,7 +819,10 @@ GROUP BY o.o_orderkey
 """,
 )
 def range_join(spark, sf_dir):
-    """Equi-key + interval-containment range join."""
+    """Equi-key + interval-containment range join — banded plan
+    (band_width=64 days ≥ the 60-day window ⇒ ≤ 2 bands per interval),
+    identical output to the post-filter plan
+    (test_range_join_banded_matches_postfilter)."""
     o = _t(spark, sf_dir, "orders").withColumn(
         "win_end", F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
     )
@@ -827,6 +830,7 @@ def range_join(spark, sf_dir):
     out = relational.range_join(
         o, li, on="o_orderkey",
         left_lo="o_orderdate", left_hi="win_end", right_point="l_shipdate",
+        band_width=64 * 86_400_000,  # 64 days in ms (timestamp bounds)
     )
     return out.groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("n_lines_in_window"))
 

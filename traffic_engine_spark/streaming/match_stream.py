@@ -201,6 +201,25 @@ def stream_speed_samples(fixes_stream: DataFrame, network_dicts) -> DataFrame:
     )
 
 
+def offmap_traces_from_stream(
+    spark, streamed_samples_pd: pd.DataFrame, segments, jumpers_pd, fixes
+):
+    """S9 on the streaming flow — the medallion wiring: the kernel streams
+    append-mode samples into a silver table; off-map traces are the
+    downstream declarative view over it (plans/match.offmap_traces is pure
+    DataFrame algebra over any samples relation).  A gap row needs BOTH
+    bounding crossings plus every fix between them, so an append-only
+    streaming operator cannot close it incrementally without re-buffering
+    all trace fixes in state — the reference itself materialises OffMapTrace
+    into a store and serves it by query (OSMDataStore.java:116,156-158),
+    which is exactly this bronze→silver shape.  Batch==stream parity:
+    tests/test_infra.py::test_streaming_offmap_matches_batch."""
+    from ..plans.match import offmap_traces
+
+    samples = spark.createDataFrame(streamed_samples_pd, schema=STREAM_SAMPLE_SCHEMA)
+    return offmap_traces(spark, samples, segments, jumpers_pd, fixes)
+
+
 # ---------------------------------------------------------------------------
 # W3 — streaming anonymity gate (VehicleStates.java:188-245)
 # ---------------------------------------------------------------------------
