@@ -373,6 +373,43 @@ def test_range_join_banded_matches_postfilter(spark):
         )
 
 
+def test_connected_components_exact(spark):
+    """Min-label propagation fixpoint vs a driver union-find on a graph
+    with chains, a ring, a star, and cross-links; plus the loud
+    non-convergence raise on a diameter > max_iter chain."""
+    from traffic_engine_spark.operators.graph import connected_components
+
+    edges = (
+        [(i, i + 1) for i in range(0, 9)]          # 10-node chain
+        + [(100, 101), (101, 102), (102, 100)]      # ring
+        + [(200, 201), (200, 202), (200, 203)]      # star
+        + [(9, 100)]                                # chain–ring bridge
+    )
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        (r.node, r.component)
+        for r in connected_components(e, max_iter=20).collect()
+    }
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {(n, find(n)) for n in parent}
+    assert got == want
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(e, max_iter=2)
+
+
 def test_embedding_cosine_bruteforce_guard(spark):
     """The O(n²) yardstick refuses unbounded inputs: > max_rows raises."""
     from traffic_engine_spark.operators import dedup as D

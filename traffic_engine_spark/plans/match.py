@@ -426,76 +426,85 @@ def speed_samples_planet(
 ):
     """Planet-scale variant of the J3/J4 kernel: NO ``segments.collect()``.
 
-    The per-segment side data the kernel needs — tripline id + dist (already
-    on every crossing row from the J1 join) and the segment's endpoint nodes
-    (one equi-join against ``segments``, AQE picks broadcast vs sort-merge
-    by actual size) — rides the rows across the Arrow boundary instead of
-    living in driver-built dicts.  Costs 7 columns instead of 3 on the
-    Arrow pipe; buys O(1) driver memory at any network size.  Only the
-    jumper table (short-segment sliver, bounded) remains a broadcast dict.
+    The Arrow payload is FOUR columns (trace_id, time, packed, dist) — the
+    same three the dict path ships plus dist, which the dict path reads
+    from a driver-built O(network) broadcast.  The pending tie-break's
+    tripline_id is md5-derived from (segment_id, index) == ``packed``, so
+    the kernel recomputes it with a per-executor memo instead of shipping
+    it (distinct packed values per task are bounded by the segments the
+    task touches).
+
+    J4 (jumper gap-fill) leaves Python entirely: a jumper sample is a pure
+    function of CONSECUTIVE emitted crossing samples of one trace, and the
+    kernel already tracks the previous emission — it ships it as two extra
+    columns (prev_seg, prev_time) on the ~|samples| output rows, and ONE
+    downstream pass (two segment-dim equi-joins + broadcast jumper left
+    join + a combined struct-array explode) births the crossing and jumper
+    rows together — no self-union, no window, the pipeline executes once.
+    The segment endpoint nodes therefore join onto the ~|samples| rows
+    instead of riding every crossing through the Arrow pipe (round-2 shape:
+    7 columns × |crossings| — measured ~17% slower per 2-core executor).
 
     Output is bit-identical to ``speed_samples`` (test_infra planet-mode
     parity test): same sort order, same state machine, same quirks."""
-    jm = {
-        (int(r.start_node_id), int(r.end_node_id)): (float(r.length_m), [int(x) for x in r.segment_ids])
-        for r in jumpers_pd.itertuples()
-    }
-    bc_jump = spark.sparkContext.broadcast(jm)
-
-    seg_dim = segments.select(
-        "segment_id",
-        F.col("start_node_id").alias("s_node"),
-        F.col("end_node_id").alias("e_node"),
-    )
     n_part = spark.sparkContext.defaultParallelism * 4
     packed = F.shiftleft(F.col("tripline_index").cast("long"), 60) + F.col("segment_id")
     arranged = (
-        crossings.join(seg_dim, "segment_id", "inner")  # every crossing's
-        # segment exists by construction (triplines derive from segments)
-        .select(
-            "trace_id", "seq", "time", "segment_id", "tripline_index",
-            "tripline_id", "tile_x", "tile_y", packed.alias("packed"),
-            "dist", "s_node", "e_node",
+        crossings.select(
+            "trace_id", "seq", "time", "tile_x", "tile_y",
+            "tripline_id", packed.alias("packed"), "dist",
         )
         .repartition(n_part, "trace_id")
         .sortWithinPartitions("trace_id", "seq", "time", "tile_x", "tile_y", "tripline_id")
-        .select("trace_id", "time", "packed", "tripline_id", "dist", "s_node", "e_node")
+        .select("trace_id", "time", "packed", "dist")
     )
 
     def run(batches):
-        jump_map = bc_jump.value
         seg_mask = (1 << 60) - 1
+        tlid_memo: dict = {}
+
+        def tlid(p):
+            v = tlid_memo.get(p)
+            if v is None:
+                v = tlid_memo[p] = tripline_id_py(p & seg_mask, p >> 60)
+            return v
+
         state_trace = None
         pending: list[tuple] = []
-        last_segment = None
-        last_segment_time = None
+        last_seg = -1
+        last_time = 0
         out_trace: list[int] = []
         out_seg: list[int] = []
         out_time: list[int] = []
         out_speed: list[float] = []
-        out_src: list[str] = []
         out_end: list[int] = []
+        out_pseg: list[int] = []
+        out_ptime: list[int] = []
+
+        def flush():
+            return pd.DataFrame(
+                {"trace_id": out_trace, "segment_id": out_seg, "time": out_time,
+                 "speed": out_speed, "end_time": out_end,
+                 "prev_seg": out_pseg, "prev_time": out_ptime}
+            )
 
         for pdf in batches:
             tr = pdf["trace_id"].to_numpy().tolist()
             tm = pdf["time"].to_numpy().tolist()
             pk = pdf["packed"].to_numpy().tolist()
-            tl = pdf["tripline_id"].to_numpy().tolist()
             ds = pdf["dist"].to_numpy().tolist()
-            sn = pdf["s_node"].to_numpy().tolist()
-            en = pdf["e_node"].to_numpy().tolist()
             for i in range(len(tr)):
                 trace = tr[i]
                 if trace != state_trace:
                     state_trace = trace
                     pending = []
-                    last_segment = None
-                    last_segment_time = None
+                    last_seg = -1
+                    last_time = 0
                 c_time = tm[i]
                 p = pk[i]
                 c_seg = p & seg_mask
                 c_idx = p >> 60
-                c_tlid, c_dist = tl[i], ds[i]
+                c_dist = ds[i]
                 last_crossing = None
                 if pending:
                     it = pending if len(pending) == 1 else sorted(pending)
@@ -505,7 +514,7 @@ def speed_samples_planet(
                             pending = []
                             break
                 if c_idx == 1:
-                    pending.append((c_time, c_tlid, c_seg, c_idx, c_dist))
+                    pending.append((c_time, tlid(p), c_seg, c_idx, c_dist))
                 if last_crossing is None:
                     continue
                 if c_idx < last_crossing[3]:
@@ -516,33 +525,87 @@ def speed_samples_planet(
                 speed = abs(c_dist - last_crossing[4]) / dt_s
                 if speed > MAX_SPEED:
                     continue
-                sample_time = last_crossing[0]
-                cur_nodes = (sn[i], en[i])
-                if last_segment is not None and last_segment[1] != cur_nodes[0]:
-                    jmp = jump_map.get((last_segment[1], cur_nodes[0]))
-                    if jmp is not None:
-                        dtj = (sample_time - last_segment_time) // 1000
-                        jspeed = (jmp[0] + MIN_SEGMENT_LEN * 2) / dtj if dtj != 0 else float("inf")
-                        for sid in jmp[1]:
-                            out_trace.append(trace); out_seg.append(sid)
-                            out_time.append(sample_time); out_speed.append(jspeed)
-                            out_src.append("jumper"); out_end.append(c_time)
-                last_segment_time = sample_time
-                last_segment = cur_nodes
                 out_trace.append(trace); out_seg.append(c_seg)
-                out_time.append(sample_time); out_speed.append(speed)
-                out_src.append("crossing"); out_end.append(c_time)
+                out_time.append(last_crossing[0]); out_speed.append(speed)
+                out_end.append(c_time)
+                out_pseg.append(last_seg); out_ptime.append(last_time)
+                last_seg = c_seg
+                last_time = last_crossing[0]
             if len(out_trace) >= 65536:
-                yield pd.DataFrame(
-                    {"trace_id": out_trace, "segment_id": out_seg, "time": out_time,
-                     "speed": out_speed, "source": out_src, "end_time": out_end}
-                )
-                out_trace, out_seg, out_time, out_speed, out_src, out_end = [], [], [], [], [], []
+                yield flush()
+                out_trace, out_seg, out_time, out_speed, out_end = [], [], [], [], []
+                out_pseg, out_ptime = [], []
         if out_trace:
-            yield pd.DataFrame(
-                {"trace_id": out_trace, "segment_id": out_seg, "time": out_time,
-                 "speed": out_speed, "source": out_src, "end_time": out_end}
-            )
+            yield flush()
+
+    cross_schema = (
+        "trace_id long, segment_id long, time long, speed double, "
+        "end_time long, prev_seg long, prev_time long"
+    )
+    cross_samples = arranged.mapInPandas(run, schema=cross_schema)
+    return _jumper_samples_declarative(spark, cross_samples, segments, jumpers_pd)
+
+
+def _jumper_samples_declarative(
+    spark: SparkSession,
+    cross_samples: DataFrame,
+    segments: DataFrame,
+    jumpers_pd: pd.DataFrame,
+) -> DataFrame:
+    """J4 as DataFrame algebra (Jumper.getSpeedSamples, Jumper.java:46-57 +
+    Vehicle.java:250-275): for consecutive emitted crossing samples A→B of
+    a trace — the kernel ships A as (prev_seg, prev_time) on B's row —
+    whose segments are not node-adjacent but jumper-bridged, emit one
+    sample per jumper member segment at B's sample time with the
+    floor-second gap speed (dtj == 0 ⇒ +inf, the reference's double
+    division).  The crossing row and its jumper rows are born from ONE
+    combined struct-array explode, so ``cross_samples`` (and the whole
+    pipeline above it) executes exactly once — no self-union, no window.
+    Returns SAMPLE_SCHEMA rows."""
+    seg_a = segments.select(
+        F.col("segment_id").alias("prev_seg"), F.col("end_node_id").alias("a_end")
+    )
+    seg_b = segments.select("segment_id", F.col("start_node_id").alias("b_start"))
+    jump_dim = spark.createDataFrame(
+        jumpers_pd[["start_node_id", "end_node_id", "length_m", "segment_ids"]],
+        schema="start_node_id long, end_node_id long, length_m double, segment_ids array<long>",
+    ).select(
+        F.col("start_node_id").alias("a_end"), F.col("end_node_id").alias("b_start"),
+        "length_m", "segment_ids",
+    )
+    enriched = (
+        cross_samples.join(F.broadcast(seg_a), "prev_seg", "left")  # null on first sample
+        .join(F.broadcast(seg_b), "segment_id", "inner")  # segment exists by construction
+        .join(F.broadcast(jump_dim), ["a_end", "b_start"], "left")
+    )
+    # FLOOR division (Python // semantics, matching the oracle/dict kernel
+    # exactly, negative gaps included); exact for |diff| < 2^53 ms
+    dtj_s = F.floor((F.col("time") - F.col("prev_time")) / F.lit(1000.0)).cast("long")
+    jspeed = F.when(dtj_s == 0, F.lit(float("inf"))).otherwise(
+        (F.col("length_m") + F.lit(MIN_SEGMENT_LEN * 2)) / dtj_s
+    )
+    sample_struct = lambda seg, spd, src: F.struct(  # noqa: E731
+        seg.alias("segment_id"), F.col("time").alias("time"), spd.alias("speed"),
+        F.lit(src).alias("source"), F.col("end_time").alias("end_time"),
+    )
+    bridged = (
+        (F.col("prev_seg") >= 0)
+        & (F.col("a_end") != F.col("b_start"))
+        & F.col("segment_ids").isNotNull()
+    )
+    jumper_structs = F.when(
+        bridged,
+        F.transform(F.col("segment_ids"), lambda sid: sample_struct(sid, jspeed, "jumper")),
+    ).otherwise(F.array().cast(
+        "array<struct<segment_id:bigint,time:bigint,speed:double,source:string,end_time:bigint>>"
+    ))
+    rows = F.concat(
+        jumper_structs,
+        F.array(sample_struct(F.col("segment_id"), F.col("speed"), "crossing")),
+    )
+    return enriched.select("trace_id", F.explode(rows).alias("s")).select(
+        "trace_id", "s.segment_id", "s.time", "s.speed", "s.source", "s.end_time"
+    )
 
     return arranged.mapInPandas(run, schema=SAMPLE_SCHEMA)
 

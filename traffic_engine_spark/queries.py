@@ -962,6 +962,39 @@ def dedup_simhash_pairs(spark, sf_dir):
     return dedup.simhash_pairs(_t(spark, sf_dir, "documents"))
 
 
+@q(
+    "dedup_components",
+    f"""
+WITH RECURSIVE {_SIMHASH_CTE},
+bands AS (SELECT doc_id, simhash, b AS band, (simhash >> (b * 8)) & 255 AS bval
+          FROM sig CROSS JOIN (SELECT unnest(range(4)) AS b)),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                a.simhash AS sa, b.simhash AS sb
+         FROM bands a JOIN bands b ON a.band = b.band AND a.bval = b.bval
+                                  AND a.doc_id < b.doc_id),
+pairs AS (SELECT doc_a, doc_b FROM cand WHERE bit_count(xor(sa, sb)) <= 3),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT reach.node, e.b FROM reach JOIN edges e ON e.a = reach.r
+)
+SELECT node AS doc_id, min(r) AS component_id, node = min(r) AS keep
+FROM reach GROUP BY node
+""",
+)
+def dedup_components(spark, sf_dir):
+    """Dedup RESOLUTION: transitive closure of the simhash near-dup pairs →
+    one canonical (min-id) keeper per duplicate cluster.  Spark: min-label
+    propagation to fixpoint (operators/graph.py); oracle: recursive-CTE
+    reachability closure — independent algorithms, identical fixpoint."""
+    from .operators.graph import dedup_resolution
+
+    return dedup_resolution(dedup.simhash_pairs(_t(spark, sf_dir, "documents")))
+
+
 _LSH_BANDS_CTE = f"""
 sigbits AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
                    {_sql_lsh_bucket(32, 64)} AS bits
