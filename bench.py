@@ -82,6 +82,12 @@ def main():
     timings["network_build"] = round(time.time() - t0, 3)
     log(f"network: {n_tl} triplines in {timings['network_build']}s")
 
+    # JIT warm-up for the pipeline's codegen units on a 0.6% slice (same
+    # rationale as the dedup warm-up above; the slice shares every plan
+    # shape with the full run)
+    _, s_warm = M.run_pipeline(spark, images.limit(5000), tls, segs, jumpers)
+    s_warm.count()
+
     # --- HEADLINE: spatial-join pipeline (decode→pair→join→refine→kernel→hist)
     t0 = time.time()
     crossings, samples = M.run_pipeline(spark, images, tls, segs, jumpers)

@@ -373,6 +373,25 @@ def test_range_join_banded_matches_postfilter(spark):
         )
 
 
+def test_kmeans_lloyd_objective_nonincreasing(spark):
+    """Lloyd iterations must not increase the k-means objective, every
+    vector is assigned exactly once, and centroid ids stay within the
+    seeded k."""
+    from traffic_engine_spark.operators.ann import kmeans_lloyd
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    n = emb.count()
+    objs = []
+    for iters in (1, 2, 3):
+        a = kmeans_lloyd(emb, k=8, iters=iters).toPandas()
+        assert len(a) == n
+        assert a["vec_id"].is_unique
+        assert set(a["centroid_id"]) <= set(range(8))
+        objs.append(a["dist2"].sum())
+    assert objs[0] >= objs[1] >= objs[2]
+    assert objs[2] < objs[0]  # the fixture actually moves
+
+
 def test_connected_components_exact(spark):
     """Min-label propagation fixpoint vs a driver union-find on a graph
     with chains, a ring, a star, and cross-links; plus the loud

@@ -183,3 +183,75 @@ def ivf_search(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", F.round("cosine", 6).alias("cosine"))
     )
+
+
+def kmeans_lloyd(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+) -> DataFrame:
+    """IVF TRAINING: Lloyd's k-means over the embedding column, fully
+    deterministic so a SQL oracle can replay it — init = the k vectors
+    with id < k, squared-Euclidean assignment with (d2, centroid_id)
+    tie-break, per-dimension means rounded to 6 decimals each update
+    (kills summation-order FP noise between engines; the repo's standard
+    float-parity pattern).  Returns the final assignment
+    (vec_id, centroid_id, dist2) after ``iters`` assignment passes
+    (means update between passes, empty clusters keep their centroid).
+
+    Scale shape (the MLlib plan): centroids are k·dims doubles — they live
+    on the DRIVER by design (bounded side data, not O(input)); each
+    assignment pass is one scan with a per-row array_min over k candidate
+    structs (zero shuffle), and each means update is one posexplode +
+    partial-agg groupBy whose shuffle carries ≤ partitions × k × dims
+    rows.  d2 = (vv - 2·v·c) + cc with every dot a sequential in-order
+    fold — bit-identical in Spark HOFs, Python, and DuckDB
+    list_dot_product."""
+    v = emb.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
+    ).withColumn("vv", dot(F.col("v"), F.col("v")))
+
+    cent = [
+        (int(r.vec_id), [float(x) for x in r.v])
+        for r in v.filter(F.col("vec_id") < k).select("vec_id", "v").collect()
+    ]
+    cent.sort()
+
+    def assignment(cent_list):
+        cand = F.array(*[
+            F.struct(
+                (
+                    (F.col("vv")
+                     - F.lit(2.0) * dot(F.col("v"), F.array(*[F.lit(x) for x in cv])))
+                    + F.lit(sum(x * x for x in cv))
+                ).alias("d2"),
+                F.lit(cid).cast("long").alias("cid"),
+            )
+            for cid, cv in cent_list
+        ])
+        return v.select("vec_id", "v", F.array_min(cand).alias("best"))
+
+    for it in range(iters):
+        assigned = assignment(cent)
+        if it == iters - 1:
+            return assigned.select(
+                "vec_id",
+                F.col("best.cid").alias("centroid_id"),
+                F.round("best.d2", 6).alias("dist2"),
+            )
+        means = (
+            assigned.select(F.col("best.cid").alias("cid"), F.posexplode("v").alias("dim", "val"))
+            .groupBy("cid", "dim")
+            .agg(F.round(F.avg("val"), 6).alias("m"))
+            .collect()
+        )
+        by_cid: dict = {}
+        for r in means:
+            by_cid.setdefault(int(r.cid), {})[int(r.dim)] = float(r.m)
+        cent = [
+            (cid, [by_cid[cid][d] for d in range(dims)] if cid in by_cid else cv)
+            for cid, cv in cent
+        ]

@@ -1361,6 +1361,47 @@ def ann_ivf_search(spark, sf_dir):
     )
 
 
+def _kmeans_sql(k: int = 8, iters: int = 3, dims: int = 64) -> str:
+    """Unrolled Lloyd iterations as CTEs — the SQL replay of
+    ann.kmeans_lloyd (same init, same (d2, cid) tie-break, same
+    round-6 means, same empty-cluster coalesce)."""
+    d2 = "(vv.vv - 2*list_dot_product(vv.v, c.c)) + list_dot_product(c.c, c.c)"
+    parts = [
+        "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        "vv AS (SELECT vec_id, v, list_dot_product(v, v) AS vv FROM v)",
+        f"c0 AS (SELECT vec_id AS cid, v AS c FROM v WHERE vec_id < {k})",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"s{i} AS (SELECT vv.vec_id, vv.v, c.cid, {d2} AS d2, "
+            f"row_number() OVER (PARTITION BY vv.vec_id ORDER BY {d2}, c.cid) AS rn "
+            f"FROM vv CROSS JOIN c{i - 1} c)"
+        )
+        if i == iters:
+            break
+        parts.append(f"a{i} AS (SELECT vec_id, v, cid FROM s{i} WHERE rn = 1)")
+        parts.append(
+            f"m{i} AS (SELECT cid, i, round(avg(v[i]), 6) AS m FROM a{i} "
+            f"CROSS JOIN (SELECT unnest(range(1, {dims + 1})) AS i) GROUP BY cid, i)"
+        )
+        parts.append(f"n{i} AS (SELECT cid, list(m ORDER BY i) AS c FROM m{i} GROUP BY cid)")
+        parts.append(
+            f"c{i} AS (SELECT p.cid, COALESCE(n{i}.c, p.c) AS c "
+            f"FROM c{i - 1} p LEFT JOIN n{i} ON n{i}.cid = p.cid)"
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT vec_id, cid AS centroid_id, round(d2, 6) AS dist2 FROM s{iters} WHERE rn = 1"
+    )
+
+
+@q("ann_kmeans", _kmeans_sql())
+def ann_kmeans(spark, sf_dir):
+    """IVF training: deterministic Lloyd k-means (k=8, 3 assignment
+    passes) — the Spark loop vs the oracle's unrolled recursive CTEs."""
+    return ann.kmeans_lloyd(_t(spark, sf_dir, "embeddings"))
+
+
 @q(
     "tiles_for_z_quirk",
     f"""
