@@ -373,6 +373,37 @@ def test_range_join_banded_matches_postfilter(spark):
         )
 
 
+def test_dedup_ops_edge_inputs(spark):
+    """Degenerate inputs must not crash or mis-pair: docs shorter than the
+    shingle width, empty text, single-doc blocks, and self-loop edges."""
+    from traffic_engine_spark.operators import dedup as D
+    from traffic_engine_spark.operators.graph import connected_components
+
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "s", "one two"),          # < k tokens ⇒ 1 short shingle
+            (2, "en", "s", ""),                  # empty text
+            (3, "en", "s", "   "),               # whitespace only
+            (4, "de", "s", "a b c d e"),         # lone doc in its block
+            (5, "en", "s", "one two"),           # exact dup of 1
+        ],
+        "doc_id long, lang string, source string, text string",
+    )
+    quad = D.ngram_jaccard_pairs(docs, block_cols=["lang", "source"]).toPandas()
+    pref = D.ngram_jaccard_prefix_pairs(docs, block_cols=["lang", "source"]).toPandas()
+    key = ["doc_a", "doc_b"]
+    pd.testing.assert_frame_equal(
+        quad.sort_values(key).reset_index(drop=True),
+        pref[quad.columns].sort_values(key).reset_index(drop=True),
+        check_exact=True,
+    )
+    assert (1, 5) in set(zip(pref.doc_a, pref.doc_b))  # the dup pair survives
+
+    e = spark.createDataFrame([(7, 7), (7, 8)], "src long, dst long")  # self-loop
+    got = {(r.node, r.component) for r in connected_components(e).collect()}
+    assert got == {(7, 7), (8, 7)}
+
+
 def test_kmeans_lloyd_objective_nonincreasing(spark):
     """Lloyd iterations must not increase the k-means objective, every
     vector is assigned exactly once, and centroid ids stay within the
