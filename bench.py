@@ -119,7 +119,7 @@ def main():
 
     # --- testdata headline queries ----------------------------------------
     bench_queries = [
-        "tpch_q1", "tpch_q3", "tpch_q5", "cell_join", "knn_join", "pip_assign",
+        "tpch_q1", "tpch_q3", "tpch_q5", "cell_join", "knn_join", "knn_join_cells", "pip_assign",
         "speed_histogram", "summary_stats", "sessionize", "asof_join",
         "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_simhash_pairs",
         "dedup_embedding_lsh", "ann_topk", "ann_lsh_topk",
