@@ -16,7 +16,6 @@
         --nodes   s3://bucket/osm_nodes/     \  # (node_id, lat, lon)
         --out     s3://bucket/out/           \
         --checkpoint s3://bucket/checkpoints/run1 \
-        --planet-scale
 
 Executor sizing: many small executors (2-4 cores) — measured in BENCH.md
 to out-scale few fat ones (per-core throughput holds at 2 cores/JVM).
@@ -41,8 +40,10 @@ def main():
                     help="stage-resumable root (plans/checkpoint.py)")
     ap.add_argument("--fingerprint", default="v1",
                     help="input-version fingerprint for checkpoint resume")
-    ap.add_argument("--planet-scale", action="store_true",
-                    help="no O(network) driver collects (EngineConfig.planet_scale)")
+    ap.add_argument("--dict-kernel-feed", action="store_true",
+                    help="A/B fixture: the pre-planet broadcast-dict kernel "
+                         "feed (planet_scale=False; collects O(network) "
+                         "segment attrs to the driver — test scales only)")
     ap.add_argument("--anonymity-gate", action="store_true",
                     help="drop fixes in z11 tiles seen by <10 distinct traces (W3)")
     ap.add_argument("--offmap", action="store_true", help="emit OffMapTrace polylines")
@@ -59,7 +60,8 @@ def main():
     # spark-submit provides master/executors; only SQL knobs set here
     spark = SparkSession.builder.appName("traffic_engine_spark").getOrCreate()
     cfg = EngineConfig(
-        planet_scale=args.planet_scale, apply_anonymity_gate=args.anonymity_gate
+        planet_scale=not args.dict_kernel_feed,
+        apply_anonymity_gate=args.anonymity_gate,
     )
 
     images = spark.read.parquet(args.images)

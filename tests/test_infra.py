@@ -213,6 +213,23 @@ def test_streaming_offmap_matches_batch(spark, spark_network, images_pd):
     b = got[want.columns].sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()), check_exact=True)
 
+    # percentile surfacing over the same streamed silver table: the
+    # histogram→quartile view must match batch exactly too
+    from traffic_engine_spark.plans import stats as S
+
+    want_p = S.percentiles_from_histogram(
+        S.histograms(spark.createDataFrame(batch_samples))
+    ).toPandas()
+    got_p = S.percentiles_from_histogram(
+        S.histograms(spark.createDataFrame(streamed[batch_samples.columns]))
+    ).toPandas()
+    k2 = [c for c in ("segment_id",) if c in want_p.columns]
+    pd.testing.assert_frame_equal(
+        want_p.sort_values(k2 or list(want_p.columns)).reset_index(drop=True),
+        got_p[want_p.columns].sort_values(k2 or list(want_p.columns)).reset_index(drop=True),
+        check_exact=True,
+    )
+
 
 def test_planet_mode_pipeline_identical_no_collect(spark, spark_network, images_pd, monkeypatch):
     """cfg.planet_scale must (a) produce bit-identical speed samples and
