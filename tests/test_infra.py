@@ -390,6 +390,66 @@ def test_range_join_banded_matches_postfilter(spark):
         )
 
 
+def test_ngram_prefix_random_corpora_and_thresholds(spark):
+    """Prefix-filter exactness across seeded random corpora and thresholds
+    (the pigeonhole bound must hold for every t, not just the default)."""
+    import random
+
+    from traffic_engine_spark.operators import dedup as D
+
+    for seed, t in [(11, 0.1), (23, 0.3), (37, 0.6)]:
+        rng = random.Random(seed)
+        vocab = [f"w{i}" for i in range(40)]
+        rows = [
+            (i, rng.choice(["en", "de"]), "s",
+             " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 30))))
+            for i in range(40)
+        ]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, lang string, source string, text string"
+        )
+        quad = D.ngram_jaccard_pairs(
+            docs, block_cols=["lang", "source"], min_jaccard=t
+        ).toPandas()
+        pref = D.ngram_jaccard_prefix_pairs(
+            docs, block_cols=["lang", "source"], min_jaccard=t
+        ).toPandas()
+        key = ["doc_a", "doc_b"]
+        pd.testing.assert_frame_equal(
+            quad.sort_values(key).reset_index(drop=True),
+            pref[quad.columns].sort_values(key).reset_index(drop=True),
+            check_exact=True,
+        )
+
+
+def test_range_join_banded_random_widths(spark):
+    """Banded == post-filter for random intervals (negative values
+    included) across band widths, with and without an equi key."""
+    import random
+
+    from traffic_engine_spark.operators import relational as R
+
+    rng = random.Random(5)
+    lrows = [(rng.randint(0, 2), rng.randint(-500, 500)) for _ in range(300)]
+    left = spark.createDataFrame(
+        [(k, lo, lo + rng.randint(0, 90)) for k, lo in lrows], "k long, lo long, hi long"
+    )
+    right = spark.createDataFrame(
+        [(rng.randint(0, 2), rng.randint(-600, 600), i) for i in range(800)],
+        "k long, pt long, rid long",
+    )
+    for on in ("k", None):
+        base = R.range_join(left, right, on, "lo", "hi", "pt").toPandas()
+        for w in (7, 32, 1000):
+            band = R.range_join(left, right, on, "lo", "hi", "pt", band_width=w).toPandas()
+            keys = ["k", "lo", "hi", "rid"] if on else ["lo", "hi", "rid"]
+            pd.testing.assert_frame_equal(
+                base[keys].sort_values(keys).reset_index(drop=True),
+                band[keys].sort_values(keys).reset_index(drop=True),
+                check_exact=True,
+            )
+
+
 def test_dedup_ops_edge_inputs(spark):
     """Degenerate inputs must not crash or mis-pair: docs shorter than the
     shingle width, empty text, single-doc blocks, and self-loop edges."""
