@@ -231,6 +231,86 @@ def test_streaming_offmap_matches_batch(spark, spark_network, images_pd):
     )
 
 
+def test_streaming_histograms_merge_store(spark, spark_network, images_pd, tmp_path):
+    """The always-on stats loop: streamed samples → per-microbatch
+    histogram increments MERGE-accumulated into the SnapshotStore.  Final
+    table state == batch histograms exactly; the snapshot log shows the
+    running accumulation (time travel monotone in total n)."""
+    import tempfile
+
+    from traffic_engine_spark.sources.store import SnapshotStore
+    from traffic_engine_spark.streaming.match_stream import (
+        histograms_to_store_sink,
+        network_to_dicts,
+        stream_speed_samples,
+    )
+
+    segs, tls, jumpers_pd = spark_network
+    dicts = network_to_dicts(segs.toPandas(), tls.toPandas(), jumpers_pd)
+    fixes_pd = M.decode_fixes(spark.createDataFrame(images_pd)).toPandas()
+    batch = _batch_samples(spark, spark_network, images_pd)
+    want = S.histograms(spark.createDataFrame(batch)).toPandas()
+
+    store = SnapshotStore(
+        spark, str(tmp_path / "hist_store"),
+        key_cols=["segment_id", "week", "hour_of_week", "speed_bin"],
+    )
+    with tempfile.TemporaryDirectory(ignore_cleanup_errors=True) as d:
+        src = os.path.join(d, "src")
+        os.makedirs(src)
+        n_slices = 3
+        cuts = fixes_pd["ts"].quantile([i / n_slices for i in range(1, n_slices)]).tolist()
+        bounds = [-float("inf")] + cuts + [float("inf")]
+        for i, (lo, hi) in enumerate(zip(bounds, bounds[1:])):
+            p = os.path.join(src, f"slice_{i:03d}.parquet")
+            fixes_pd[(fixes_pd.ts > lo) & (fixes_pd.ts <= hi)].to_parquet(p, index=False)
+            os.utime(p, (1_000_000 + i, 1_000_000 + i))
+        fixes_stream = (
+            spark.readStream.schema(
+                "image_id string, trace_id long, ts long, lat double, lon double"
+            ).option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        q = (
+            stream_speed_samples(fixes_stream, dicts)
+            .writeStream.foreachBatch(histograms_to_store_sink(store))
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(d, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        import time as _time
+
+        expected_total = int(want["n"].sum())
+        deadline = _time.time() + 300
+        while _time.time() < deadline:
+            if not q.isActive:
+                break
+            try:
+                total = int(store.read().agg(F.sum("n")).first()[0] or 0)
+            except ValueError:
+                total = 0
+            if total >= expected_total and not q.status["isDataAvailable"]:
+                break
+            _time.sleep(2)
+        q.stop()
+
+    got = store.read().toPandas()
+    key = ["segment_id", "week", "hour_of_week", "speed_bin"]
+    pd.testing.assert_frame_equal(
+        want.sort_values(key).reset_index(drop=True),
+        got[want.columns].sort_values(key).reset_index(drop=True).astype(
+            want.dtypes.to_dict()
+        ),
+        check_exact=True,
+    )
+    snaps = [s for s in store.snapshots() if s["operation"] == "merge-sum"]
+    assert len(snaps) >= 2  # accumulation actually spanned microbatches
+    totals = [
+        int(store.read(s["snapshot_id"]).agg(F.sum("n")).first()[0]) for s in snaps
+    ]
+    assert totals == sorted(totals) and totals[-1] == expected_total
+
+
 def test_planet_mode_pipeline_identical_no_collect(spark, spark_network, images_pd, monkeypatch):
     """cfg.planet_scale must (a) produce bit-identical speed samples and
     (b) never .collect() O(network) data to the driver — asserted by

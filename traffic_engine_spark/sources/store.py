@@ -116,3 +116,30 @@ class SnapshotStore:
         return self._write_snapshot(
             existing.unionByName(fresh), "merge", added
         )
+
+    def merge_sum(self, df: DataFrame, sum_cols: list[str]) -> dict:
+        """MERGE accumulate: matched keys ADD ``sum_cols``, unmatched
+        insert — the reference's histogram upsert (StatsDataStore.save
+        reads the stored SegmentStatistics for (segmentId, week) and adds
+        the incoming counts, StatsDataStore.java:140-162).  On Iceberg:
+        MERGE ... WHEN MATCHED THEN UPDATE SET n = t.n + s.n WHEN NOT
+        MATCHED THEN INSERT.  Empty increments commit nothing."""
+        agg = df.groupBy(*self.key_cols).agg(
+            *[F.sum(c).alias(c) for c in sum_cols]
+        )
+        if agg.isEmpty():
+            snaps = self.snapshots()
+            last = snaps[-1] if snaps else {"snapshot_id": None}
+            return {**last, "operation": "merge-sum-noop", "added_rows": 0}
+        if self.current_snapshot_id() is None:
+            return self._write_snapshot(agg, "merge-sum", agg.count())
+        existing = self.read()
+        added = agg.join(
+            existing.select(*self.key_cols), self.key_cols, "left_anti"
+        ).count()
+        merged = (
+            existing.unionByName(agg)
+            .groupBy(*self.key_cols)
+            .agg(*[F.sum(c).alias(c) for c in sum_cols])
+        )
+        return self._write_snapshot(merged, "merge-sum", added)

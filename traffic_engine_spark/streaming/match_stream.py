@@ -201,6 +201,22 @@ def stream_speed_samples(fixes_stream: DataFrame, network_dicts) -> DataFrame:
     )
 
 
+def histograms_to_store_sink(store):
+    """foreachBatch sink: per-microbatch speed samples → histogram
+    increments → MERGE-accumulate into a SnapshotStore — the reference's
+    continuously-running StatsDataStore.save loop (StatsDataStore.java:
+    140-162) as a streaming upsert.  Each microbatch commits one snapshot
+    (time-travel shows the running accumulation); on a finite input the
+    final table state equals the batch histograms exactly
+    (test_streaming_histograms_merge_store)."""
+    from ..plans.stats import histograms
+
+    def sink(batch_df, batch_id):
+        store.merge_sum(histograms(batch_df), ["n"])
+
+    return sink
+
+
 def offmap_traces_from_stream(
     spark, streamed_samples_pd: pd.DataFrame, segments, jumpers_pd, fixes
 ):
