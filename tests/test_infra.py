@@ -231,6 +231,79 @@ def test_streaming_offmap_matches_batch(spark, spark_network, images_pd):
     )
 
 
+def test_streaming_gate_then_kernel_composition(spark, spark_network, images_pd, tmp_path):
+    """The documented bronze→silver composition of the two stateful
+    operators (one per query): anonymity release gate → parquet silver →
+    per-trace kernel.  End-to-end output must equal the batch pipeline
+    with the gate enabled."""
+    from traffic_engine_spark.config import EngineConfig
+    from traffic_engine_spark.streaming.match_stream import (
+        gate_fixes_stream,
+        network_to_dicts,
+        stream_speed_samples,
+    )
+
+    segs, tls, jumpers_pd = spark_network
+    images = spark.createDataFrame(images_pd)
+    fixes_pd = M.decode_fixes(images).toPandas()
+
+    gate_cfg = EngineConfig(apply_anonymity_gate=True)
+    _, batch_samples = M.run_pipeline(spark, images, tls, segs, jumpers_pd, gate_cfg)
+    want = batch_samples.toPandas()
+    n_gated = M.anonymity_gate(M.decode_fixes(images)).count()
+
+    src = str(tmp_path / "src"); silver = str(tmp_path / "silver")
+    os.makedirs(src)
+    n_slices = 3
+    cuts = fixes_pd["ts"].quantile([i / n_slices for i in range(1, n_slices)]).tolist()
+    bounds = [-float("inf")] + cuts + [float("inf")]
+    for i, (lo, hi) in enumerate(zip(bounds, bounds[1:])):
+        p = os.path.join(src, f"slice_{i:03d}.parquet")
+        fixes_pd[(fixes_pd.ts > lo) & (fixes_pd.ts <= hi)].to_parquet(p, index=False)
+        os.utime(p, (1_000_000 + i, 1_000_000 + i))
+
+    schema = "image_id string, trace_id long, ts long, lat double, lon double"
+    import time as _time
+
+    q1 = (
+        gate_fixes_stream(
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        .writeStream.format("parquet").option("path", silver)
+        .option("checkpointLocation", str(tmp_path / "ck1"))
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    deadline = _time.time() + 300
+    while _time.time() < deadline and q1.isActive:
+        try:
+            done = spark.read.parquet(silver).count() >= n_gated
+        except Exception:
+            done = False
+        if done and not q1.status["isDataAvailable"]:
+            break
+        _time.sleep(2)
+    q1.stop()
+    assert spark.read.parquet(silver).count() == n_gated
+
+    dicts = network_to_dicts(segs.toPandas(), tls.toPandas(), jumpers_pd)
+    q2 = (
+        stream_speed_samples(spark.readStream.schema(schema).parquet(silver), dicts)
+        .writeStream.format("memory").queryName("gate_kernel_samples")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    deadline = _time.time() + 300
+    while _time.time() < deadline and q2.isActive:
+        n = spark.sql("select count(*) c from gate_kernel_samples").first().c
+        if n >= len(want) and not q2.status["isDataAvailable"]:
+            break
+        _time.sleep(2)
+    q2.stop()
+    got = spark.sql("select * from gate_kernel_samples").toPandas()
+    assert len(want) > 0
+    _assert_samples_equal(want, got)
+
+
 def test_streaming_histograms_merge_store(spark, spark_network, images_pd, tmp_path):
     """The always-on stats loop: streamed samples → per-microbatch
     histogram increments MERGE-accumulated into the SnapshotStore.  Final
