@@ -7,6 +7,7 @@ count + schema + order-insensitive values.  Usage:
 
 from __future__ import annotations
 
+import os
 import sys
 
 import duckdb
@@ -15,7 +16,7 @@ import pandas as pd
 
 sys.path.insert(0, ".")
 
-SF_DIR = "/root/testdata/sf0.01"
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",

@@ -573,9 +573,14 @@ def _jumper_samples_declarative(
         F.col("start_node_id").alias("a_end"), F.col("end_node_id").alias("b_start"),
         "length_m", "segment_ids",
     )
+    # NO broadcast hint on the segment-dim joins: at planet scale the dim
+    # is O(network) — AQE picks broadcast vs sort-merge by actual size
+    # (and these joins touch only the ~|samples| kernel output, not the
+    # crossings).  The jumper dim IS bounded (short-segment sliver) —
+    # broadcast it explicitly.
     enriched = (
-        cross_samples.join(F.broadcast(seg_a), "prev_seg", "left")  # null on first sample
-        .join(F.broadcast(seg_b), "segment_id", "inner")  # segment exists by construction
+        cross_samples.join(seg_a, "prev_seg", "left")  # null on first sample
+        .join(seg_b, "segment_id", "inner")  # segment exists by construction
         .join(F.broadcast(jump_dim), ["a_end", "b_start"], "left")
     )
     # FLOOR division (Python // semantics, matching the oracle/dict kernel
