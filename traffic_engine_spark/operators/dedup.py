@@ -294,7 +294,10 @@ def ngram_jaccard_prefix_pairs(
     quadratic path would cross the whole block.  Per-block df keeps the
     order consistent within every candidate pair (pairs never span
     blocks).  Shuffles: shingle explode → df agg → rank window →
-    candidate equi-join → verify joins — all on bounded keys."""
+    candidate equi-join → verify joins.  The df-lookup join hashes on
+    (block, shingle): a planet-hot shingle piles its occurrences on one
+    reducer — an equi-join, so AQE skew-split (enabled in session.py)
+    partitions it automatically."""
     sh = docs.select(
         *block_cols, "doc_id", ws_tokens(F.col(text_col)).alias("toks")
     ).select(

@@ -123,7 +123,11 @@ class SnapshotStore:
         reads the stored SegmentStatistics for (segmentId, week) and adds
         the incoming counts, StatsDataStore.java:140-162).  On Iceberg:
         MERGE ... WHEN MATCHED THEN UPDATE SET n = t.n + s.n WHEN NOT
-        MATCHED THEN INSERT.  Empty increments commit nothing."""
+        MATCHED THEN INSERT — which rewrites only the touched data files;
+        this parquet stand-in rewrites the whole table per commit, so at
+        fact-table scale partition the store by week (the reference's own
+        store key) or swap in the real MERGE.  Empty increments commit
+        nothing."""
         agg = df.groupBy(*self.key_cols).agg(
             *[F.sum(c).alias(c) for c in sum_cols]
         )
