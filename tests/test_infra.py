@@ -699,6 +699,18 @@ def test_embedding_cosine_bruteforce_guard(spark):
         D.embedding_cosine_pairs(emb, min_cosine=0.3, max_rows=10)
 
 
+def test_ngram_jaccard_hot_block_guard(spark):
+    """The blocked-quadratic path refuses a block bigger than
+    max_block_rows — the scale path is ngram_jaccard_prefix_pairs."""
+    from traffic_engine_spark.operators import dedup as D
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    with pytest.raises(ValueError, match="prefix"):
+        D.ngram_jaccard_pairs(
+            docs, block_cols=["lang", "source"], max_block_rows=5
+        )
+
+
 def test_simhash_pairs_pigeonhole_complete(spark):
     """Banding with n_bands > max_hamming finds EVERY pair within the
     Hamming budget — verified against an all-pairs scan."""

@@ -242,11 +242,30 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     shingle_k: int = 3,
     min_jaccard: float = 0.1,
+    max_block_rows: int = 100_000,
 ) -> DataFrame:
     """Blocked pairwise n-gram Jaccard: pairs share the blocking key
     (e.g. (lang, source)), the quadratic blow-up is bounded per block.
-    Skewed/hot blocks at scale: use `ngram_jaccard_prefix_pairs` — exact
-    same output, prefix-filtered candidates instead of the block cross."""
+    Guarded like the cosine yardstick: raises if any block exceeds
+    ``max_block_rows`` (one cheap groupBy count before the self-join), so
+    a hot block cannot silently launch an in-block cartesian at corpus
+    scale.  The scale path is `ngram_jaccard_prefix_pairs` — exact same
+    output, prefix-filtered candidates instead of the block cross."""
+    hot = (
+        docs.groupBy(*block_cols)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > max_block_rows)
+        .limit(1)
+        .collect()
+    )
+    if hot:
+        r = hot[0]
+        raise ValueError(
+            f"ngram_jaccard_pairs is quadratic within a block: block "
+            f"{tuple(r[c] for c in block_cols)} has {r._n} rows > "
+            f"max_block_rows={max_block_rows}; use ngram_jaccard_prefix_pairs "
+            "(exact, prefix-filtered) at this scale"
+        )
     sh = docs.select(
         *block_cols, "doc_id", ws_tokens(F.col(text_col)).alias("toks")
     ).select(
