@@ -41,6 +41,23 @@ def _minhash_coeffs(n_hashes: int) -> tuple[list[int], list[int]]:
     return a, b
 
 
+def _shingle_explode(docs: DataFrame, text_col: str, k: int) -> DataFrame:
+    """(doc_id, s): one row per k-word shingle, with the shingle string
+    built by a TOP-LEVEL codegen'd projection (posexplode of the index
+    sequence, then concat_ws(slice(toks, i, k))) rather than inside a
+    higher-order transform() lambda — HOF lambdas are interpreted per
+    element in Spark, which made the shingle materialisation the dominant
+    cost of the MinHash signature (measured, see BENCH.md).  Output rows
+    and values are identical to exploding `shingles_from_tokens`."""
+    n = F.size(F.col("toks"))
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
+    return (
+        docs.select("doc_id", ws_tokens(F.col(text_col)).alias("toks"))
+        .select("doc_id", "toks", F.explode(idx).alias("i"))
+        .select("doc_id", F.concat_ws(" ", F.slice(F.col("toks"), F.col("i"), k)).alias("s"))
+    )
+
+
 def minhash_signature_array(
     docs: DataFrame, text_col: str = "text", n_hashes: int = 16, shingle_k: int = 3
 ) -> DataFrame:
@@ -56,10 +73,8 @@ def minhash_signature_array(
     One md5 per shingle, then the j-th hash is the affine rehash
     (a_j·h₀ + b_j) mod p — the standard cheap MinHash family."""
     a, b = _minhash_coeffs(n_hashes)
-    sh = (
-        docs.select("doc_id", ws_tokens(F.col(text_col)).alias("toks"))
-        .select("doc_id", F.explode(shingles_from_tokens(F.col("toks"), shingle_k)).alias("s"))
-        .select("doc_id", (hash64(F.col("s")) % MINHASH_PRIME).alias("h0"))
+    sh = _shingle_explode(docs, text_col, shingle_k).select(
+        "doc_id", (hash64(F.col("s")) % MINHASH_PRIME).alias("h0")
     )
     mins = [
         F.min((F.lit(a[j]) * F.col("h0") + F.lit(b[j])) % MINHASH_PRIME).alias(f"_h{j}")
