@@ -543,7 +543,7 @@ def speed_samples_planet(
         "end_time long, prev_seg long, prev_time long"
     )
     cross_samples = arranged.mapInPandas(run, schema=cross_schema)
-    return _jumper_samples_declarative(spark, cross_samples, segments, jumpers_pd)
+    return _jumper_samples_declarative(spark, cross_samples, segments, jumpers_pd, cfg)
 
 
 def _jumper_samples_declarative(
@@ -551,6 +551,7 @@ def _jumper_samples_declarative(
     cross_samples: DataFrame,
     segments: DataFrame,
     jumpers_pd: pd.DataFrame,
+    cfg: EngineConfig = DEFAULT_CONFIG,
 ) -> DataFrame:
     """J4 as DataFrame algebra (Jumper.getSpeedSamples, Jumper.java:46-57 +
     Vehicle.java:250-275): for consecutive emitted crossing samples A→B of
@@ -573,11 +574,17 @@ def _jumper_samples_declarative(
         F.col("start_node_id").alias("a_end"), F.col("end_node_id").alias("b_start"),
         "length_m", "segment_ids",
     )
-    # NO broadcast hint on the segment-dim joins: at planet scale the dim
-    # is O(network) — AQE picks broadcast vs sort-merge by actual size
-    # (and these joins touch only the ~|samples| kernel output, not the
-    # crossings).  The jumper dim IS bounded (short-segment sliver) —
-    # broadcast it explicitly.
+    # Size-gate the broadcast hint on the segment-dim joins: the kernel
+    # output has NO size statistics at plan time (mapInPandas), so without
+    # a hint Spark plans sort-merge and — even when AQE later converts to
+    # broadcast — the ~|samples| side's shuffle is already materialised;
+    # measured +28% on the 53M-row single-executor run (180 s vs 141 s,
+    # BENCH.md).  One cheap count() on the dim (orders smaller than the
+    # fact side) decides: broadcast while it fits comfortably, sort-merge
+    # above — the O(network) planet dim stays driver-safe.  The jumper dim
+    # IS bounded (short-segment sliver) — broadcast it unconditionally.
+    if segments.count() <= cfg.broadcast_dim_max_rows:
+        seg_a, seg_b = F.broadcast(seg_a), F.broadcast(seg_b)
     enriched = (
         cross_samples.join(seg_a, "prev_seg", "left")  # null on first sample
         .join(seg_b, "segment_id", "inner")  # segment exists by construction
