@@ -423,6 +423,41 @@ def test_planet_mode_pipeline_identical_no_collect(spark, spark_network, images_
     assert "MapInPandas" in plan  # still exactly one Python stage
 
 
+def test_jumper_dim_broadcast_gate(spark, spark_network, images_pd):
+    """Above cfg.broadcast_dim_max_rows the jumper-pass segment-dim joins
+    must fall back to sort-merge (no driver-size broadcast of a planet
+    dim) with IDENTICAL output; at the default gate they broadcast."""
+    from traffic_engine_spark.config import EngineConfig
+
+    segs, tls, jumpers_pd = spark_network
+    images = spark.createDataFrame(images_pd)
+
+    # kill the optimizer's own small-table broadcasting so the plans show
+    # exactly what the engine's explicit hint (and only it) buys — at test
+    # scale Spark would otherwise statically broadcast the tiny dim either
+    # way, which is precisely what planet-size stats would NOT do
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        _, s_bc = M.run_pipeline(spark, images, tls, segs, jumpers_pd, EngineConfig())
+        plan_bc = s_bc._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan_bc
+
+        _, s_smj = M.run_pipeline(
+            spark, images, tls, segs, jumpers_pd, EngineConfig(broadcast_dim_max_rows=0)
+        )
+        plan_smj = s_smj._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan_smj
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+
+    key = ["trace_id", "segment_id", "time", "speed", "source"]
+    a = s_bc.toPandas()[key].sort_values(key).reset_index(drop=True)
+    b = s_smj.toPandas()[key].sort_values(key).reset_index(drop=True)
+    assert len(a) > 0
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
+
+
 def test_pip_winding_matches_convex_on_convex_polygons(spark, images_pd):
     from traffic_engine_spark.queries import _POLYGONS
 
