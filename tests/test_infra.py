@@ -304,6 +304,51 @@ def test_streaming_gate_then_kernel_composition(spark, spark_network, images_pd,
     _assert_samples_equal(want, got)
 
 
+def test_streaming_store_sink_replay_safe(spark, spark_network, images_pd, tmp_path):
+    """foreachBatch is at-least-once: re-delivering a microbatch (same
+    batch_id) must NOT double-apply the histogram increments — the op_id
+    in the snapshot log makes the merge idempotent."""
+    from traffic_engine_spark.sources.store import SnapshotStore
+    from traffic_engine_spark.streaming.match_stream import histograms_to_store_sink
+
+    batch = _batch_samples(spark, spark_network, images_pd)
+    samples = spark.createDataFrame(batch)
+    store = SnapshotStore(
+        spark, str(tmp_path / "replay_store"),
+        key_cols=["segment_id", "week", "hour_of_week", "speed_bin"],
+    )
+    sink = histograms_to_store_sink(store)
+    sink(samples, 0)
+    once = int(store.read().agg(F.sum("n")).first()[0])
+    n_snaps = len(store.snapshots())
+    sink(samples, 0)  # crash-replay of the same microbatch
+    assert int(store.read().agg(F.sum("n")).first()[0]) == once
+    assert len(store.snapshots()) == n_snaps  # no new snapshot committed
+    sink(samples, 1)  # a genuinely new batch still applies
+    assert int(store.read().agg(F.sum("n")).first()[0]) == 2 * once
+
+
+def test_range_join_banded_rejects_mixed_type_bounds(spark):
+    """DATE bounds band to epoch days, TIMESTAMP points to epoch millis —
+    banding across families would silently return no matches, so the
+    operator must refuse."""
+    from traffic_engine_spark.operators import relational
+
+    o = (
+        spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .withColumn("lo", F.to_date("o_orderdate"))
+        .withColumn("hi", F.to_date(F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")))
+    )
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    with pytest.raises(ValueError, match="type family"):
+        relational.range_join(
+            o, li, on="o_orderkey", left_lo="lo", left_hi="hi",
+            right_point="l_shipdate", band_width=64 * 86_400_000,
+        )
+
+
 def test_streaming_histograms_merge_store(spark, spark_network, images_pd, tmp_path):
     """The always-on stats loop: streamed samples → per-microbatch
     histogram increments MERGE-accumulated into the SnapshotStore.  Final

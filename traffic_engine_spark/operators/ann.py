@@ -219,6 +219,12 @@ def kmeans_lloyd(
         for r in v.filter(F.col("vec_id") < k).select("vec_id", "v").collect()
     ]
     cent.sort()
+    if not cent:
+        raise ValueError(
+            f"kmeans_lloyd seeds its centroids from rows with {id_col} < k={k} "
+            "(deterministic init); no such rows exist — remap ids to a dense "
+            "0..n-1 range (e.g. row_number() - 1) before calling"
+        )
 
     def assignment(cent_list):
         cand = F.array(*[

@@ -338,6 +338,10 @@ def ngram_jaccard_prefix_pairs(
         *block_cols, "doc_id",
         F.array_distinct(shingles_from_tokens(F.col("toks"), shingle_k)).alias("sh"),
     )
+    # the tokenise+shingle projection is the expensive pass (BENCH.md) and
+    # feeds FOUR consumers below (df agg, prefix probe, both verify
+    # joins): materialise it once — lazy, so no extra job
+    sh = sh.localCheckpoint(eager=False)
     ex = sh.select(
         *block_cols, "doc_id", F.size("sh").alias("sz"), F.explode("sh").alias("s")
     )

@@ -90,6 +90,25 @@ def range_join(
         return left.join(right, on).filter(
             F.col(right_point).between(F.col(left_lo), F.col(left_hi))
         )
+    def _family(df, col):
+        t = dict(df.dtypes)[col]
+        return "date" if t == "date" else ("ts" if t.startswith("timestamp") else "num")
+
+    fams = {
+        left_lo: _family(left, left_lo),
+        left_hi: _family(left, left_hi),
+        right_point: _family(right, right_point),
+    }
+    if len(set(fams.values())) != 1:
+        # a DATE bound maps to epoch DAYS while a TIMESTAMP point maps to
+        # epoch MILLIS — their bands would never collide and the join
+        # would silently drop every match (or explode ~20k bands/row the
+        # other way round).  Refuse loudly instead.
+        raise ValueError(
+            f"range_join band columns must share one type family "
+            f"(date | timestamp | numeric), got {fams} — cast the bounds "
+            "to a common type before banding"
+        )
     lo, hi = _range_long(left, left_lo), _range_long(left, left_hi)
     bands = F.sequence(
         F.floor(lo / F.lit(band_width)), F.floor(hi / F.lit(band_width))

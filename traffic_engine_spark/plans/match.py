@@ -579,11 +579,18 @@ def _jumper_samples_declarative(
     # a hint Spark plans sort-merge and — even when AQE later converts to
     # broadcast — the ~|samples| side's shuffle is already materialised;
     # measured +28% on the 53M-row single-executor run (180 s vs 141 s,
-    # BENCH.md).  One cheap count() on the dim (orders smaller than the
-    # fact side) decides: broadcast while it fits comfortably, sort-merge
-    # above — the O(network) planet dim stays driver-safe.  The jumper dim
-    # IS bounded (short-segment sliver) — broadcast it unconditionally.
-    if segments.count() <= cfg.broadcast_dim_max_rows:
+    # BENCH.md).  One count() on the dim (orders smaller than the fact
+    # side; parquet metadata-fast) decides: broadcast while it fits,
+    # sort-merge above — the O(network) planet dim stays driver-safe.
+    # This is a deliberate plan-time statistics job (CBO would do the
+    # same); memoised on the DataFrame so repeated pipeline builds over
+    # one network pay it once.  The jumper dim IS bounded (short-segment
+    # sliver) — broadcast it unconditionally.
+    n_segs = getattr(segments, "_te_rowcount", None)
+    if n_segs is None:
+        n_segs = segments.count()
+        segments._te_rowcount = n_segs
+    if n_segs <= cfg.broadcast_dim_max_rows:
         seg_a, seg_b = F.broadcast(seg_a), F.broadcast(seg_b)
     enriched = (
         cross_samples.join(seg_a, "prev_seg", "left")  # null on first sample
@@ -618,8 +625,6 @@ def _jumper_samples_declarative(
     return enriched.select("trace_id", F.explode(rows).alias("s")).select(
         "trace_id", "s.segment_id", "s.time", "s.speed", "s.source", "s.end_time"
     )
-
-    return arranged.mapInPandas(run, schema=SAMPLE_SCHEMA)
 
 
 # ---------------------------------------------------------------------------

@@ -281,47 +281,22 @@ def build_jumpers_sharded(spark: SparkSession, segments: DataFrame) -> DataFrame
         "segment_id", "way_id", "start_node_id", "end_node_id", "length_m",
         "seq_in_way", "twin",
     )
-    edges = short.select(
-        F.col("start_node_id").alias("a"), F.col("end_node_id").alias("b")
-    ).distinct().localCheckpoint()
-    labels = (
-        edges.select(F.col("a").alias("node"))
-        .unionByName(edges.select(F.col("b").alias("node")))
-        .distinct()
-        .withColumn("label", F.col("node"))
+    # ONE fixpoint implementation in the repo: operators/graph owns the
+    # min-label propagation (same semantics this function used to inline —
+    # min node id per component, loud raise on non-convergence past the
+    # diameter bound)
+    from ..operators.graph import connected_components
+
+    labels = connected_components(
+        short.select(
+            F.col("start_node_id").alias("a"), F.col("end_node_id").alias("b")
+        ),
+        src="a", dst="b", max_iter=64,
     )
-    for _ in range(64):  # diameter bound; chains are short
-        la = labels.select(F.col("node").alias("a"), F.col("label").alias("la"))
-        lb = labels.select(F.col("node").alias("b"), F.col("label").alias("lb"))
-        m = edges.join(la, "a").join(lb, "b")
-        prop = (
-            m.select(F.col("a").alias("node"), F.least("la", "lb").alias("label"))
-            .unionByName(m.select(F.col("b").alias("node"), F.least("la", "lb").alias("label")))
-            .unionByName(labels)
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint()  # cut the lineage per iteration
-        )
-        changed = (
-            prop.join(labels.withColumnRenamed("label", "old"), "node")
-            .filter(F.col("label") != F.col("old"))
-            .count()
-        )
-        labels = prop
-        if changed == 0:
-            break
-    else:
-        # a component with hop-diameter > 64 would be silently split and
-        # diverge from the global fold — fail loudly instead
-        raise RuntimeError(
-            "build_jumpers_sharded: min-label propagation did not converge "
-            f"in 64 iterations ({changed} labels still moving); the "
-            "short-segment graph has a component with hop-diameter > 64"
-        )
 
     comp = short.join(
         labels.select(
-            F.col("node").alias("start_node_id"), F.col("label").alias("component")
+            F.col("node").alias("start_node_id"), F.col("component")
         ),
         "start_node_id",
     )

@@ -1589,6 +1589,15 @@ def oracle_sql():
         from .oracle.materialize import ensure_pipeline_oracles
 
         out.update(ensure_pipeline_oracles())
-    except Exception:
-        pass
+    except Exception as e:  # degradation must be VISIBLE, not silent
+        import sys
+        import traceback
+
+        print(
+            "WARNING: pipeline oracle materialization failed — the "
+            "traffic/multimodal entries degrade to rows-only checks: "
+            f"{e!r}",
+            file=sys.stderr,
+        )
+        traceback.print_exc(file=sys.stderr)
     return out

@@ -72,7 +72,9 @@ class SnapshotStore:
 
     # -- writes ---------------------------------------------------------------
 
-    def _write_snapshot(self, df: DataFrame, operation: str, added: int) -> dict:
+    def _write_snapshot(
+        self, df: DataFrame, operation: str, added: int, op_id: str | None = None
+    ) -> dict:
         parent = self.current_snapshot_id()
         sid = 0 if parent is None else parent + 1
         out = self._snap_dir(sid)
@@ -83,6 +85,8 @@ class SnapshotStore:
             "added_rows": int(added), "total_rows": int(total),
             "key": self.key_cols, "ts": time.time(),
         }
+        if op_id is not None:
+            entry["op_id"] = op_id
         self._commit(entry)
         return entry
 
@@ -117,7 +121,9 @@ class SnapshotStore:
             existing.unionByName(fresh), "merge", added
         )
 
-    def merge_sum(self, df: DataFrame, sum_cols: list[str]) -> dict:
+    def merge_sum(
+        self, df: DataFrame, sum_cols: list[str], op_id: str | None = None
+    ) -> dict:
         """MERGE accumulate: matched keys ADD ``sum_cols``, unmatched
         insert — the reference's histogram upsert (StatsDataStore.save
         reads the stored SegmentStatistics for (segmentId, week) and adds
@@ -127,16 +133,32 @@ class SnapshotStore:
         this parquet stand-in rewrites the whole table per commit, so at
         fact-table scale partition the store by week (the reference's own
         store key) or swap in the real MERGE.  Empty increments commit
-        nothing."""
+        nothing.
+
+        ``op_id`` makes the merge IDEMPOTENT under at-least-once replay
+        (the foreachBatch contract: a microbatch can be re-delivered after
+        a crash between the store commit and the streaming checkpoint
+        commit): an op_id already present in the snapshot log is skipped
+        — the increments are NOT double-applied — and the recorded entry
+        is returned.  Iceberg twin: write the batch id as a snapshot
+        summary property and check it before the MERGE."""
+        if op_id is not None:
+            for snap in self.snapshots():
+                if snap.get("op_id") == op_id:
+                    return {**snap, "operation": "merge-sum-replay-skip"}
         agg = df.groupBy(*self.key_cols).agg(
             *[F.sum(c).alias(c) for c in sum_cols]
         )
+        # one execution of the increment plan, reused by every action
+        # below (isEmpty / counts / merged write) — from foreachBatch the
+        # upstream would otherwise re-run per action
+        agg = agg.localCheckpoint()
         if agg.isEmpty():
             snaps = self.snapshots()
             last = snaps[-1] if snaps else {"snapshot_id": None}
             return {**last, "operation": "merge-sum-noop", "added_rows": 0}
         if self.current_snapshot_id() is None:
-            return self._write_snapshot(agg, "merge-sum", agg.count())
+            return self._write_snapshot(agg, "merge-sum", agg.count(), op_id)
         existing = self.read()
         added = agg.join(
             existing.select(*self.key_cols), self.key_cols, "left_anti"
@@ -146,4 +168,4 @@ class SnapshotStore:
             .groupBy(*self.key_cols)
             .agg(*[F.sum(c).alias(c) for c in sum_cols])
         )
-        return self._write_snapshot(merged, "merge-sum", added)
+        return self._write_snapshot(merged, "merge-sum", added, op_id)

@@ -208,11 +208,17 @@ def histograms_to_store_sink(store):
     140-162) as a streaming upsert.  Each microbatch commits one snapshot
     (time-travel shows the running accumulation); on a finite input the
     final table state equals the batch histograms exactly
-    (test_streaming_histograms_merge_store)."""
+    (test_streaming_histograms_merge_store).
+
+    Replay-safe: foreachBatch is at-least-once — a microbatch is
+    re-delivered if the driver dies between the store commit and the
+    streaming checkpoint commit — so the batch_id rides into the snapshot
+    log as the merge's op_id and an already-applied batch is skipped
+    instead of double-counted (test_streaming_store_sink_replay_safe)."""
     from ..plans.stats import histograms
 
     def sink(batch_df, batch_id):
-        store.merge_sum(histograms(batch_df), ["n"])
+        store.merge_sum(histograms(batch_df), ["n"], op_id=f"hist-batch-{batch_id}")
 
     return sink
 
