@@ -304,6 +304,46 @@ def test_streaming_gate_then_kernel_composition(spark, spark_network, images_pd,
     _assert_samples_equal(want, got)
 
 
+def test_spark_submit_pyfiles_job(spark, city, images_pd, tmp_path):
+    """The north rule's ship shape, end-to-end for real: `spark-submit
+    --py-files dist/traffic_engine_spark.zip examples/pipeline_job.py`
+    from a NEUTRAL working directory (the zip, not the repo checkout, must
+    provide the package), on the deterministic synthetic city — asserts
+    the exact parity row counts (41 speed samples at seed 42)."""
+    import shutil
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    subprocess.run(["sh", os.path.join(repo, "tools/package_pyfiles.sh")],
+                   check=True, capture_output=True)
+    spark_submit = shutil.which("spark-submit")
+    if spark_submit is None:
+        pytest.skip("no spark-submit on PATH")
+
+    nodes, ways, _ = city
+    inp = tmp_path / "in"
+    spark.createDataFrame(images_pd).write.parquet(str(inp / "images"))
+    spark.createDataFrame(ways).write.parquet(str(inp / "ways"))
+    spark.createDataFrame(nodes).write.parquet(str(inp / "nodes"))
+
+    out = tmp_path / "out"
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    r = subprocess.run(
+        [spark_submit, "--master", "local[4]",
+         "--conf", "spark.sql.shuffle.partitions=8",
+         "--py-files", os.path.join(repo, "dist/traffic_engine_spark.zip"),
+         os.path.join(repo, "examples/pipeline_job.py"),
+         "--images", str(inp / "images"), "--ways", str(inp / "ways"),
+         "--nodes", str(inp / "nodes"), "--out", str(out)],
+        cwd=str(tmp_path), env=env, capture_output=True, text=True, timeout=420,
+    )
+    assert r.returncode == 0, r.stderr[-4000:]
+    samples = spark.read.parquet(str(out / "speed_samples"))
+    assert samples.count() == 41  # exact parity count, seed 42
+    assert spark.read.parquet(str(out / "tiles")).count() == len(images_pd)
+    assert spark.read.parquet(str(out / "histograms")).count() > 0
+
+
 def test_streaming_store_sink_replay_safe(spark, spark_network, images_pd, tmp_path):
     """foreachBatch is at-least-once: re-delivering a microbatch (same
     batch_id) must NOT double-apply the histogram increments — the op_id
