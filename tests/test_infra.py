@@ -819,6 +819,40 @@ def test_embedding_cosine_bruteforce_guard(spark):
         D.embedding_cosine_pairs(emb, min_cosine=0.3, max_rows=10)
 
 
+def test_deterministic_sample_nesting_and_stability(spark):
+    """Hash sampling must (a) nest across rates (0.1 ⊂ 0.3 ⊂ 0.5), (b) be
+    partitioning-independent (repartitioned input → identical sample),
+    (c) approximate the rate."""
+    from traffic_engine_spark.operators.relational import deterministic_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    n = docs.count()
+    keep = {}
+    for r in (0.1, 0.3, 0.5):
+        keep[r] = {x.doc_id for x in deterministic_sample(docs, "doc_id", r).select("doc_id").collect()}
+    assert keep[0.1] <= keep[0.3] <= keep[0.5]
+    assert abs(len(keep[0.5]) / n - 0.5) < 0.1
+    shuffled = {
+        x.doc_id
+        for x in deterministic_sample(docs.repartition(17), "doc_id", 0.3)
+        .select("doc_id").collect()
+    }
+    assert shuffled == keep[0.3]
+
+
+def test_contamination_pairs_catches_formatting_variants(spark):
+    from traffic_engine_spark.operators.dedup import contamination_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ev = docs.limit(5).select(
+        (F.col("doc_id") + 10_000).alias("doc_id"),
+        F.concat(F.lit("  "), F.upper(F.col("text")), F.lit("\t")).alias("text"),
+    )
+    out = contamination_pairs(docs, ev).toPandas()
+    assert len(out) == 5  # every perturbed doc flagged against its source
+    assert set(out.train_doc_id + 10_000) == set(out.eval_doc_id)
+
+
 def test_ngram_jaccard_hot_block_guard(spark):
     """The blocked-quadratic path refuses a block bigger than
     max_block_rows — the scale path is ngram_jaccard_prefix_pairs."""

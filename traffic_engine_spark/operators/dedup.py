@@ -380,6 +380,36 @@ def ngram_jaccard_prefix_pairs(
     )
 
 
+def contamination_pairs(
+    train: DataFrame, eval_docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Train/eval contamination sweep: (eval_doc_id, train_doc_id) for
+    every eval row whose normalised-text fingerprint (functions.text
+    .fingerprint — lower, strip punctuation, collapse whitespace) appears
+    in the training corpus; train_doc_id is the minimum matching id, one
+    row per contaminated eval doc.
+
+    Scale shape: one equi-join on the 60-bit fingerprint + a partial-agg
+    min — the train side is scanned once and never crossed; when the eval
+    set is benchmark-sized (the usual case) broadcast it and the sweep is
+    a single map-side pass over 100 TB of train.  Near-dup contamination
+    (paraphrase leakage) composes from the same fingerprint swap: join on
+    `minhash_lsh_pairs` candidates instead of exact fp."""
+    from ..functions.text import fingerprint
+
+    t = train.select(
+        F.col("doc_id").alias("train_doc_id"), fingerprint(F.col(text_col)).alias("fp")
+    )
+    e = eval_docs.select(
+        F.col("doc_id").alias("eval_doc_id"), fingerprint(F.col(text_col)).alias("fp")
+    )
+    return (
+        e.join(t, "fp")
+        .groupBy("eval_doc_id")
+        .agg(F.min("train_doc_id").alias("train_doc_id"))
+    )
+
+
 def embedding_cosine_pairs(
     emb: DataFrame, min_cosine: float = 0.9, id_col: str = "vec_id", vec_col: str = "embedding",
     max_rows: int = 100_000,

@@ -125,6 +125,40 @@ def range_join(
     )
 
 
+def deterministic_sample(
+    df: DataFrame,
+    key_col: str,
+    rate: float | None = None,
+    strata_col: str | None = None,
+    rates: dict | None = None,
+) -> DataFrame:
+    """Content-hash sampling for training-data curation: a row is kept iff
+    ``pmod(hash64(key), 10^6) < rate·10^6`` — the keep decision is a pure
+    function of the row's key, so the sample is REPRODUCIBLE across runs,
+    cluster sizes, partitionings and engines (no rand(), no seed state;
+    the shared md5 hash family makes the DuckDB oracle bit-exact), and
+    samples at different rates NEST (rate 0.1 ⊂ rate 0.5 — the standard
+    hash-sampling property corpus ablations rely on).  Per-stratum rates
+    (the downsample-by-source/language curriculum) via ``rates`` keyed on
+    ``strata_col`` values; strata absent from the dict fall back to
+    ``rate`` (or 0 — dropped — when no default is given).  Zero shuffles:
+    a codegen'd filter on a scan."""
+    from ..functions.text import hash64
+
+    default_thr = F.lit(int(round((rate or 0.0) * 1_000_000)))
+    if rates:
+        assert strata_col is not None, "rates requires strata_col"
+        thr = default_thr
+        for val, r in sorted(rates.items()):
+            thr = F.when(
+                F.col(strata_col) == F.lit(val), F.lit(int(round(r * 1_000_000)))
+            ).otherwise(thr)
+    else:
+        thr = default_thr
+    h = F.pmod(hash64(F.col(key_col).cast("string")), F.lit(1_000_000))
+    return df.filter(h < thr)
+
+
 def topk_per_group(
     df: DataFrame, group_cols: list[str], order_col: str, k: int,
     descending: bool = True, tiebreak: str | None = None,

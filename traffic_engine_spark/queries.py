@@ -1318,6 +1318,55 @@ def text_fingerprint(spark, sf_dir):
 
 
 @q(
+    "sample_stratified",
+    f"""
+SELECT doc_id, lang, source
+FROM documents
+WHERE {_sql_hash("CAST(doc_id AS VARCHAR)")} % 1000000
+      < CASE WHEN lang = 'en' THEN 500000 ELSE 100000 END
+""",
+)
+def sample_stratified(spark, sf_dir):
+    """Deterministic content-hash downsampling by stratum (the curriculum
+    / source-mix op of a training-data pipeline): keep 50% of English,
+    10% of everything else — reproducible across runs, cluster sizes and
+    engines (no rand()); nested rates (0.1 ⊂ 0.5) by construction.
+    operators/relational.deterministic_sample."""
+    return relational.deterministic_sample(
+        _t(spark, sf_dir, "documents"),
+        key_col="doc_id", rate=0.1, strata_col="lang", rates={"en": 0.5},
+    ).select("doc_id", "lang", "source")
+
+
+@q(
+    "contamination_exact",
+    f"""
+WITH e0 AS (SELECT doc_id + 1000000 AS doc_id, upper(text) || '  ' AS text
+            FROM documents WHERE doc_id % 10 = 0),
+e AS (SELECT doc_id AS eval_doc_id, {_SQL_FP} AS fp FROM e0),
+t AS (SELECT doc_id AS train_doc_id, {_SQL_FP} AS fp FROM documents)
+SELECT eval_doc_id, min(train_doc_id) AS train_doc_id
+FROM e JOIN t USING (fp)
+GROUP BY eval_doc_id
+""",
+)
+def contamination_exact(spark, sf_dir):
+    """Train/eval leakage sweep (operators/dedup.contamination_pairs):
+    eval docs whose normalised-text fingerprint appears in the training
+    corpus.  The synthetic corpus is duplicate-free, so the eval split is
+    a FORMATTING-PERTURBED copy of every 10th train doc (uppercased,
+    whitespace-padded, remapped ids) — each must still be flagged against
+    its source, which also proves the fingerprint's normalisation
+    robustness end-to-end."""
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.upper(F.col("text")), F.lit("  ")).alias("text"),
+    )
+    return dedup.contamination_pairs(docs, ev)
+
+
+@q(
     "ann_ivf_assign",
     """
 WITH c AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv
