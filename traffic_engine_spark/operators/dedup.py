@@ -503,7 +503,17 @@ def embedding_lsh_pairs(
     (bounded (band, bval) equi-join keys), distinct pairs, exact cosine
     verify — the corpus is never crossed, the shuffle carries only
     same-band-bucket pairs.  LSH ⊆ brute-force with identical cosines
-    (test_embedding_lsh_recall_vs_brute)."""
+    (test_embedding_lsh_recall_vs_brute).
+
+    Candidates deliberately use a SELF-JOIN, not minhash_lsh_pairs'
+    in-bucket collect_list combination explode: a band here has only
+    2^band_planes possible values, so buckets are FAT by construction
+    (n/16 rows on clustered corpora) — a collect_list row would grow
+    unboundedly with corpus size, while the self-join's hot (band, bval)
+    keys are exactly what AQE skew-split partitions automatically
+    (measured neutral at sf0.1; structurally required at 100 TB).
+    MinHash band keys are content-derived md5s, so its buckets stay
+    bounded and the explode shape is safe there."""
     # the signature projection is expensive (n_bands × band_planes dots):
     # checkpoint it so the self-join doesn't execute it twice
     bands = lsh_band_keys(emb, id_col, vec_col, band_planes, n_bands, dims).localCheckpoint()
