@@ -137,6 +137,29 @@ def test_area_zone_offsets_dim(spark, spark_network, images_pd):
     assert offs == odim
 
 
+def test_uninhabited_tz_polygons_skipped(spark, images_pd):
+    """F12 (TimeConverter.java:100-102): a polygon whose tzid is
+    'uninhabited' must never capture a point — even when it covers the
+    whole city, every area falls through to offset 0; a sibling inhabited
+    polygon with the same shape still applies."""
+    city_cover = {
+        "lons": [-123.0, -122.0, -122.0, -123.0],
+        "lats": [37.0, 37.0, 38.5, 38.5],
+    }
+    fixes_df = M.decode_fixes(spark.createDataFrame(images_pd))
+
+    ghost = pd.DataFrame([{"poly_id": 0, "tzid": "uninhabited", **city_cover}])
+    dim = M.area_zone_offsets(fixes_df, ghost, {0: 3_600_000}).toPandas()
+    assert set(dim.zone_offset_ms) == {0}
+
+    real = pd.DataFrame([
+        {"poly_id": 0, "tzid": "uninhabited", **city_cover},
+        {"poly_id": 1, "tzid": "America/Los_Angeles", **city_cover},
+    ])
+    dim2 = M.area_zone_offsets(fixes_df, real, {0: 3_600_000, 1: -28_800_000}).toPandas()
+    assert set(dim2.zone_offset_ms) == {-28_800_000}
+
+
 def test_offmap_traces_exact(spark, spark_network, images_pd, oracle_net, oracle_outputs, fixes):
     """OffMapTrace parity: the engine's declarative gap plan must emit
     exactly the oracle's off-map polylines (ids, windows, coords)."""

@@ -123,6 +123,17 @@ def pip_assign_convex(points: DataFrame, polygons: list[dict]) -> DataFrame:
     return points.withColumn("poly_id", assign)
 
 
+def filter_inhabited_tz(polygons_pd: pd.DataFrame, tzid_col: str = "tzid") -> pd.DataFrame:
+    """F12 (TimeConverter.java:100-102): the reference skips timezone
+    shapes whose TZID is the literal "uninhabited" before indexing them —
+    an uninhabited zone must never capture a point (the point falls
+    through to offset 0).  Driver-side pandas filter on the (bounded)
+    polygon dim; tables without a tzid column pass through unchanged."""
+    if tzid_col not in polygons_pd.columns:
+        return polygons_pd
+    return polygons_pd[polygons_pd[tzid_col] != "uninhabited"].reset_index(drop=True)
+
+
 def pip_assign_winding(
     points: DataFrame, polygons_pd: pd.DataFrame, lat_col: str = "lat", lon_col: str = "lon"
 ) -> DataFrame:

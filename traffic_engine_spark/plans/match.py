@@ -93,8 +93,9 @@ def area_zone_offsets(
     z11 tiles) — broadcastable at any data scale (the planet has < 4.2M z11
     tiles, and offsets pack to 20 bytes/row)."""
     from ..functions.cells import tile2lat_col, tile2lon_col
-    from ..operators.spatial import pip_assign_winding
+    from ..operators.spatial import filter_inhabited_tz, pip_assign_winding
 
+    tz_polygons_pd = filter_inhabited_tz(tz_polygons_pd)  # F12
     tiles = fixes.select(
         tile_x_col(F.col("lon"), Z_AREA).alias("ax"),
         tile_y_col(F.col("lat"), Z_AREA).alias("ay"),
