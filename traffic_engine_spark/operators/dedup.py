@@ -219,6 +219,21 @@ def simhash_pairs(
     n_bands > max_hamming finds ALL qualifying pairs (exact, not
     approximate).  The band equi-join is the canonical bounded-key LSH
     shuffle; the Hamming check is bit_count(xor) — pure codegen."""
+    sig = simhash(docs, text_col, bits).withColumnRenamed("simhash", "sig")
+    return hamming_pairs(sig, "doc_id", "sig", bits, n_bands, max_hamming)
+
+
+def hamming_pairs(
+    sigs: DataFrame, id_col: str = "doc_id", sig_col: str = "sig",
+    bits: int = 32, n_bands: int = 4, max_hamming: int = 3,
+) -> DataFrame:
+    """EXACT Hamming-ball pair join over ANY integer-signature column
+    (SimHash text signatures, image pHashes, …): pigeonhole banding →
+    bounded (band, bval) equi-join → bit_count(xor) verify, all codegen.
+    Returns (doc_a, doc_b, hamming) with doc_a < doc_b, hamming ≤
+    max_hamming.  With n_bands > max_hamming AND the bands covering every
+    bit, any qualifying pair shares at least one intact band — complete,
+    not approximate."""
     assert n_bands > max_hamming, "pigeonhole completeness requires n_bands > max_hamming"
     assert bits % n_bands == 0, (
         f"n_bands {n_bands} must divide bits {bits} — uncovered top bits "
@@ -226,19 +241,19 @@ def simhash_pairs(
     )
     band_bits = bits // n_bands
     mask = (1 << band_bits) - 1
-    sig = simhash(docs, text_col, bits)
+    sig = sigs.select(F.col(id_col).alias("doc_id"), F.col(sig_col).alias("sig"))
     bands = sig.select(
-        "doc_id", "simhash",
+        "doc_id", "sig",
         F.posexplode(
             F.array(*[
-                F.shiftrightunsigned(F.col("simhash"), i * band_bits)
+                F.shiftrightunsigned(F.col("sig"), i * band_bits)
                 .bitwiseAND(F.lit(mask))
                 for i in range(n_bands)
             ])
         ).alias("band", "bval"),
     )
-    a = bands.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"), "band", "bval")
-    b = bands.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"), "band", "bval")
+    a = bands.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "band", "bval")
+    b = bands.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"), "band", "bval")
     cand = (
         a.join(b, ["band", "bval"])
         .filter(F.col("doc_a") < F.col("doc_b"))

@@ -27,7 +27,7 @@ import re
 import numpy as np
 import pandas as pd
 
-_VERSION = 1
+_VERSION = 2
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 ORACLE_DIR = os.path.join(_REPO_ROOT, ".oracle_cache", f"v{_VERSION}")
 
@@ -38,6 +38,7 @@ ENTRIES = [
     "traffic_histograms",
     "traffic_triplines",
     "multimodal_resize",
+    "multimodal_phash_pairs",
     "traffic_tile_invariants",
 ]
 
@@ -126,6 +127,31 @@ def _compute() -> dict[str, pd.DataFrame]:
     out["multimodal_resize"] = pd.DataFrame(
         rows, columns=["image_id", "w", "h", "fmt", "phash", "byte_len", "bytes_md5"]
     ).astype({"w": np.int64, "h": np.int64, "phash": np.int64, "byte_len": np.int64})
+
+    # --- multimodal_phash_pairs: exact Hamming-ball image near-dup -------
+    # The synthetic corpus has no near-dup images, so the registered query
+    # unions a 2-bit-perturbed copy of every image (id + "_v", phash XOR 9)
+    # and every copy must pair with its source; coincidental original-pair
+    # hits are computed here too, so parity is unconditional.
+    ids = images_pd["image_id"].astype(str).to_numpy()
+    ph = images_pd["phash"].to_numpy().astype(np.int64)
+    all_ids = np.concatenate([ids, np.array([i + "_v" for i in ids])])
+    all_ph = np.concatenate([ph, ph ^ np.int64(9)])
+
+    def _pc(v: int) -> int:
+        return bin(v & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    prows = []
+    n_sig = len(all_ids)
+    for i in range(n_sig):
+        for j in range(n_sig):
+            if all_ids[i] < all_ids[j]:
+                h = _pc(int(all_ph[i]) ^ int(all_ph[j]))
+                if h <= 3:
+                    prows.append((all_ids[i], all_ids[j], h))
+    out["multimodal_phash_pairs"] = pd.DataFrame(
+        prows, columns=["doc_a", "doc_b", "hamming"]
+    ).astype({"hamming": np.int32})
 
     # --- traffic_tile_invariants: tile assignment (caption-parsed, exactly
     # like the engine) + payload invariants -------------------------------

@@ -1591,6 +1591,30 @@ def traffic_triplines(spark, sf_dir):
     return _pipeline(spark)[2]
 
 
+@q("multimodal_phash_pairs", None)
+def multimodal_phash_pairs(spark, sf_dir):
+    """Image near-duplicate detection by pHash Hamming ball — the image-
+    payload twin of SimHash text dedup, via the generalised
+    operators/dedup.hamming_pairs (pigeonhole banding over the int64
+    signature, bit_count(xor) verify, all codegen; complete, not
+    approximate, for hamming <= 3 with 4 bands over 64 bits).
+
+    The synthetic corpus has no near-dup images, so a 2-bit-perturbed
+    copy of every image (id + '_v', phash XOR 9) is unioned in: every
+    copy must pair with its source at hamming 2 — the entry proves
+    detection, not vacuous emptiness.  Oracle: numpy all-pairs scan,
+    materialized parquet (oracle/materialize.py)."""
+    images = _pipeline(spark)[0]
+    sig = images.select(F.col("image_id").alias("id"), F.col("phash").alias("sig"))
+    pert = images.select(
+        F.concat(F.col("image_id"), F.lit("_v")).alias("id"),
+        F.col("phash").bitwiseXOR(F.lit(9)).alias("sig"),
+    )
+    return dedup.hamming_pairs(
+        sig.unionByName(pert), "id", "sig", bits=64, n_bands=4, max_hamming=3
+    )
+
+
 @q("multimodal_resize", None)
 def multimodal_resize(spark, sf_dir):
     """Multimodal resize plumbing (decode → numpy resample → re-encode →
