@@ -819,6 +819,39 @@ def test_embedding_cosine_bruteforce_guard(spark):
         D.embedding_cosine_pairs(emb, min_cosine=0.3, max_rows=10)
 
 
+def test_hamming_pairs_complete_random_64bit_sigs(spark):
+    """hamming_pairs (the generalised banding op behind simhash_pairs and
+    multimodal_phash_pairs) must find EVERY pair within the Hamming budget
+    on random full-width 64-bit signatures — verified against an all-pairs
+    numpy popcount scan, including planted near-pairs."""
+    import numpy as np
+
+    from traffic_engine_spark.operators.dedup import hamming_pairs
+
+    rng = np.random.default_rng(7)
+    sigs = rng.integers(-(2**63), 2**63, size=150, dtype=np.int64)
+    planted = sigs[:25] ^ np.int64(0b1001)  # hamming 2 from their sources
+    allsig = np.concatenate([sigs, planted])
+    ids = np.arange(len(allsig), dtype=np.int64)
+
+    want = set()
+    for i in range(len(allsig)):
+        for j in range(i + 1, len(allsig)):
+            h = bin(int(allsig[i] ^ allsig[j]) & 0xFFFFFFFFFFFFFFFF).count("1")
+            if h <= 3:
+                want.add((int(ids[i]), int(ids[j]), h))
+    assert len(want) >= 25  # the planted pairs at minimum
+
+    df = spark.createDataFrame(
+        [(int(i), int(s)) for i, s in zip(ids, allsig)], "id long, sig long"
+    )
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in hamming_pairs(df, "id", "sig", bits=64, n_bands=4, max_hamming=3).collect()
+    }
+    assert got == want
+
+
 def test_deterministic_sample_nesting_and_stability(spark):
     """Hash sampling must (a) nest across rates (0.1 ⊂ 0.3 ⊂ 0.5), (b) be
     partitioning-independent (repartitioned input → identical sample),
