@@ -819,6 +819,36 @@ def test_embedding_cosine_bruteforce_guard(spark):
         D.embedding_cosine_pairs(emb, min_cosine=0.3, max_rows=10)
 
 
+def test_universe_sampled_join_exact_on_surviving_keys(spark):
+    """Universe sampling keeps EVERY pair whose key survives (that's the
+    whole point vs per-side sampling), and the 1/p-scaled total is a
+    sane estimate of the true pair count."""
+    from traffic_engine_spark.operators.relational import universe_sampled_join
+
+    from traffic_engine_spark.functions.cells import tile_x_col, tile_y_col
+    from traffic_engine_spark.queries import _points
+
+    pts = _points(spark, "/root/testdata/sf0.01").select(
+        "event_id",
+        tile_x_col(F.col("lon"), 14).alias("cx"),
+        tile_y_col(F.col("lat"), 14).alias("cy"),
+    )
+    a = pts.filter(F.col("event_id") % 2 == 0)
+    b = pts.filter(F.col("event_id") % 2 == 1).withColumnRenamed("event_id", "eb")
+    full = a.join(b, ["cx", "cy"]).groupBy("cx", "cy").count().toPandas()
+    samp = (
+        universe_sampled_join(a, b, ["cx", "cy"], rate=0.3)
+        .groupBy("cx", "cy").count().toPandas()
+    )
+    truth = full.set_index(["cx", "cy"])["count"]
+    got = samp.set_index(["cx", "cy"])["count"]
+    # exactness: every surviving cell's pair count equals the full join's
+    assert (truth.loc[got.index] == got).all()
+    # estimator sanity on the additive total
+    est = got.sum() / 0.3
+    assert 0.5 * truth.sum() <= est <= 1.5 * truth.sum()
+
+
 def test_hamming_pairs_complete_random_64bit_sigs(spark):
     """hamming_pairs (the generalised banding op behind simhash_pairs and
     multimodal_phash_pairs) must find EVERY pair within the Hamming budget

@@ -125,6 +125,32 @@ def range_join(
     )
 
 
+def universe_sampled_join(
+    left: DataFrame, right: DataFrame, on: list[str], rate: float
+) -> DataFrame:
+    """Universe (join-key) sampling for approximate join aggregates
+    ("Random Sampling over Spatial Range Joins", ICDE 2025; the
+    quickr/ApproxJoin universe-sample family).  Sampling each SIDE of a
+    join independently at rate p keeps only ~p² of the matching pairs and
+    biases every join aggregate; sampling the KEY UNIVERSE instead — keep
+    a key iff pmod(hash64(key), 10^6) < p·10^6, the SAME deterministic
+    hash on both sides — keeps every pair whose key survives, so
+    per-group COUNT/SUM estimates scale by exactly 1/p.  Deterministic
+    (shared md5 family ⇒ DuckDB-exact oracle, no rand()), and the filter
+    pushes below the shuffle on both sides: at 100 TB the sampled join
+    scans, shuffles and joins only the sampled universe.  Callers scale
+    additive aggregates by 1/rate."""
+    from ..functions.text import hash64
+
+    thr = F.lit(int(round(rate * 1_000_000)))
+
+    def keep(df: DataFrame) -> DataFrame:
+        key = F.concat_ws(",", *[F.col(c).cast("string") for c in on])
+        return df.filter(F.pmod(hash64(key), F.lit(1_000_000)) < thr)
+
+    return keep(left).join(keep(right), on)
+
+
 def deterministic_sample(
     df: DataFrame,
     key_col: str,

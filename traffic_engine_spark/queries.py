@@ -215,6 +215,55 @@ def cell_join(spark, sf_dir):
     """J1 — cell equi-join with grid_disk(1) ring expansion; candidate
     counts per probe point.  The ring explode sits on the probe side, the
     build side is a plain cell equi-key (broadcastable)."""
+    return _cell_join_impl(spark, sf_dir)
+
+
+@q(
+    "cell_join_sampled",
+    f"""
+WITH {PTS_CTE},
+a AS (SELECT event_id, {_sql_tile_x('lon', 16)} AS cx, {_sql_tile_y('lat', 16)} AS cy
+      FROM pts WHERE event_id % 2 = 0),
+b AS (SELECT event_id, {_sql_tile_x('lon', 16)} AS cx, {_sql_tile_y('lat', 16)} AS cy
+      FROM pts WHERE event_id % 2 = 1),
+sa AS (SELECT * FROM a
+       WHERE {_sql_hash("CAST(cx AS VARCHAR) || ',' || CAST(cy AS VARCHAR)")} % 1000000 < 200000),
+sb AS (SELECT * FROM b
+       WHERE {_sql_hash("CAST(cx AS VARCHAR) || ',' || CAST(cy AS VARCHAR)")} % 1000000 < 200000)
+SELECT sa.cx AS cx, sa.cy AS cy, count(*) AS n_pairs,
+       count(*) * 5 AS est_pairs
+FROM sa JOIN sb ON sa.cx = sb.cx AND sa.cy = sb.cy
+GROUP BY 1, 2
+""",
+)
+def cell_join_sampled(spark, sf_dir):
+    """Approximate join aggregates by UNIVERSE sampling (ICDE'25 random
+    sampling over spatial joins / quickr family): the (cx, cy) cell
+    universe is hash-sampled at p=0.2 on BOTH sides with the shared
+    deterministic hash, so every pair of a surviving cell is kept and the
+    per-cell pair count scales by exactly 1/p — unlike independent
+    per-side sampling, which keeps only p² of pairs.  The filter pushes
+    below the join on both scans.  operators/relational.
+    universe_sampled_join."""
+    p = _points(spark, sf_dir)
+    a = p.filter(F.col("event_id") % 2 == 0).select(
+        "event_id",
+        tile_x_col(F.col("lon"), 16).alias("cx"),
+        tile_y_col(F.col("lat"), 16).alias("cy"),
+    )
+    b = p.filter(F.col("event_id") % 2 == 1).select(
+        F.col("event_id").alias("eb"),
+        tile_x_col(F.col("lon"), 16).alias("cx"),
+        tile_y_col(F.col("lat"), 16).alias("cy"),
+    )
+    joined = relational.universe_sampled_join(a, b, ["cx", "cy"], rate=0.2)
+    return joined.groupBy("cx", "cy").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        (F.count(F.lit(1)) * F.lit(5)).alias("est_pairs"),
+    )
+
+
+def _cell_join_impl(spark, sf_dir):
     p = _points(spark, sf_dir)
     a = p.filter(F.col("event_id") % 2 == 0).select(
         F.col("event_id").alias("ea"),
