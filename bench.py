@@ -50,6 +50,11 @@ def main():
     log(f"bench images ready in {time.time() - t0:.1f}s")
     images = spark.read.parquet(images_path)
     n_images = images.count()
+    # count() touches only row-group stats; fault the columns the pipeline
+    # actually scans into the page cache so the FIRST timed pipeline run
+    # doesn't pay first-touch I/O the later A/B run then gets for free
+    # (the order effect measured as 5.9 s first vs 3.7 s second)
+    images.selectExpr("sum(length(caption))", "sum(length(image_id))").collect()
     log(f"bench images rows: {n_images}")
 
     # warmup: pre-fork Python workers + touch every testdata table so the
