@@ -13,6 +13,8 @@ Reports BOTH scaling modes (results recorded in BENCH.md):
            the fixed per-stage costs (see BENCH.md analysis).
 
 Usage: python tools/scaling_bench.py [--traces 256000]  (~12 min)
+       python tools/scaling_bench.py --executors [--traces N]  (weak, executor JVMs)
+       taskset -c 0-1 python tools/scaling_bench.py --strong-union --traces N
        python tools/scaling_bench.py --child N --traces M  (internal)
 """
 
@@ -86,6 +88,52 @@ def main():
         n = spark.read.parquet(path).count()
         spark.stop()
         print(f"{path} rows={n}")
+        return
+
+    if "--strong-union" in sys.argv:
+        # Strong baseline companion to --executors: ONE 2-core executor on
+        # the union of the 4 disjoint slices (the exact 4D input the 4
+        # executors share), read as multiple parquet paths — no 4D file
+        # generation needed.  Run under `taskset -c 0-1`.  strong
+        # efficiency = (this wall / slowest 4x wall) / 4.
+        import json as _json
+        import time as _time
+
+        from traffic_engine_spark import get_spark
+        from traffic_engine_spark.datagen.bench_data import bench_network
+        from traffic_engine_spark.plans import match as M
+        from traffic_engine_spark.plans import network as N
+        from traffic_engine_spark.plans import stats as S
+        from traffic_engine_spark.plans import tiles as TI
+
+        from traffic_engine_spark.datagen.bench_data import ensure_bench_images
+
+        d = traces // 4
+        spark = get_spark(app_name="strong-union", cores=2, shuffle_partitions=2)
+        paths = [
+            ensure_bench_images(
+                spark,
+                os.path.join(BENCH_DIR, f"images_{d}" + (f"_off{i*d}" if i else "")),
+                n_traces=d, trace_offset=i * d,
+            )
+            for i in range(4)
+        ]
+        images = spark.read.parquet(*paths)
+        n = images.count()
+        images.selectExpr("sum(length(caption))", "sum(length(image_id))").collect()
+        ways, nodes = bench_network(spark)
+        segs, tls, jumpers = N.build_network_tables(spark, ways, nodes)
+        tls.count()
+        spark.range(1000, numPartitions=2).mapInPandas(lambda it: it, schema="id long").count()
+        t0 = _time.time()
+        _, samples = M.run_pipeline(spark, images, tls, segs, jumpers)
+        n_hist = S.histograms(samples).count()
+        n_tiles = TI.assign_tiles(images).count()
+        wall = _time.time() - t0
+        print(_json.dumps({"cpus": 2, "wall_sec": round(wall, 3),
+                           "rows": n + n_tiles,
+                           "rows_per_sec": int((n + n_tiles) / wall),
+                           "hist_rows": n_hist}))
         return
 
     if "--child" in sys.argv:
