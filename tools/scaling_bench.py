@@ -31,7 +31,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 BENCH_DIR = os.environ.get("SPARK_GRAFT_BENCH_DIR", "/root/repo/.bench_data")
 
 
-def run_child(cpus: int, traces: int, offset: int = 0) -> dict:
+def run_child(cpus: int, traces: int, offset: int = 0, paths: list | None = None) -> dict:
+    """One measured executor.  Default: a single generated slice
+    (traces, offset).  With ``paths``, read the given parquet dirs as one
+    input (the --strong-union baseline) — SAME warmup + timing protocol
+    either way, so weak children and the strong baseline always measure
+    identically."""
     from traffic_engine_spark import get_spark
     from traffic_engine_spark.datagen.bench_data import bench_network, ensure_bench_images
     from traffic_engine_spark.plans import match as M
@@ -40,12 +45,13 @@ def run_child(cpus: int, traces: int, offset: int = 0) -> dict:
     from traffic_engine_spark.plans import tiles as TI
 
     spark = get_spark(app_name=f"scaling-{cpus}", cores=cpus, shuffle_partitions=cpus)
-    suffix = f"_off{offset}" if offset else ""
-    images_path = ensure_bench_images(
-        spark, os.path.join(BENCH_DIR, f"images_{traces}{suffix}"),
-        n_traces=traces, trace_offset=offset,
-    )
-    images = spark.read.parquet(images_path)
+    if paths is None:
+        suffix = f"_off{offset}" if offset else ""
+        paths = [ensure_bench_images(
+            spark, os.path.join(BENCH_DIR, f"images_{traces}{suffix}"),
+            n_traces=traces, trace_offset=offset,
+        )]
+    images = spark.read.parquet(*paths)
     n_images = images.count()
     # warm the OS page cache for the columns the job reads (count() alone
     # touches only row-group stats): N executors on a real cluster each
@@ -95,45 +101,23 @@ def main():
         # the union of the 4 disjoint slices (the exact 4D input the 4
         # executors share), read as multiple parquet paths — no 4D file
         # generation needed.  Run under `taskset -c 0-1`.  strong
-        # efficiency = (this wall / slowest 4x wall) / 4.
-        import json as _json
-        import time as _time
-
+        # efficiency = (this wall / slowest 4x wall) / 4.  Same warmup +
+        # timing protocol as the weak children (shared run_child).
         from traffic_engine_spark import get_spark
-        from traffic_engine_spark.datagen.bench_data import bench_network
-        from traffic_engine_spark.plans import match as M
-        from traffic_engine_spark.plans import network as N
-        from traffic_engine_spark.plans import stats as S
-        from traffic_engine_spark.plans import tiles as TI
-
         from traffic_engine_spark.datagen.bench_data import ensure_bench_images
 
         d = traces // 4
-        spark = get_spark(app_name="strong-union", cores=2, shuffle_partitions=2)
+        gen = get_spark(app_name="strong-union-gen", cores=2, shuffle_partitions=2)
         paths = [
             ensure_bench_images(
-                spark,
+                gen,
                 os.path.join(BENCH_DIR, f"images_{d}" + (f"_off{i*d}" if i else "")),
                 n_traces=d, trace_offset=i * d,
             )
             for i in range(4)
         ]
-        images = spark.read.parquet(*paths)
-        n = images.count()
-        images.selectExpr("sum(length(caption))", "sum(length(image_id))").collect()
-        ways, nodes = bench_network(spark)
-        segs, tls, jumpers = N.build_network_tables(spark, ways, nodes)
-        tls.count()
-        spark.range(1000, numPartitions=2).mapInPandas(lambda it: it, schema="id long").count()
-        t0 = _time.time()
-        _, samples = M.run_pipeline(spark, images, tls, segs, jumpers)
-        n_hist = S.histograms(samples).count()
-        n_tiles = TI.assign_tiles(images).count()
-        wall = _time.time() - t0
-        print(_json.dumps({"cpus": 2, "wall_sec": round(wall, 3),
-                           "rows": n + n_tiles,
-                           "rows_per_sec": int((n + n_tiles) / wall),
-                           "hist_rows": n_hist}))
+        gen.stop()
+        print(json.dumps(run_child(2, d, paths=paths)))
         return
 
     if "--child" in sys.argv:

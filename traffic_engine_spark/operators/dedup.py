@@ -199,8 +199,14 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = 32) -> DataFram
         ).alias(f"_s{b}")
         for b in range(bits)
     ]
+    # bit 63 is the signed-long sign bit: 1 << 63 overflows LongType, so
+    # emit its two's-complement value (-(2^63)) — the integer SUM of
+    # distinct powers-of-two reconstructs the same 64-bit pattern
     sig = sum(
-        (F.when(F.col(f"_s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        (F.when(
+            F.col(f"_s{b}") > 0,
+            F.lit((1 << b) if b < 63 else -(1 << 63)).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
          for b in range(bits)),
         F.lit(0).cast("long"),
     )

@@ -94,10 +94,12 @@ def range_join(
         t = dict(df.dtypes)[col]
         return "date" if t == "date" else ("ts" if t.startswith("timestamp") else "num")
 
+    # keyed by ROLE, not column name — left_lo and right_point may share a
+    # name while having different types across the two tables
     fams = {
-        left_lo: _family(left, left_lo),
-        left_hi: _family(left, left_hi),
-        right_point: _family(right, right_point),
+        "left_lo": _family(left, left_lo),
+        "left_hi": _family(left, left_hi),
+        "right_point": _family(right, right_point),
     }
     if len(set(fams.values())) != 1:
         # a DATE bound maps to epoch DAYS while a TIMESTAMP point maps to

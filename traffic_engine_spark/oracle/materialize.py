@@ -144,11 +144,11 @@ def _compute() -> dict[str, pd.DataFrame]:
     prows = []
     n_sig = len(all_ids)
     for i in range(n_sig):
-        for j in range(n_sig):
-            if all_ids[i] < all_ids[j]:
-                h = _pc(int(all_ph[i]) ^ int(all_ph[j]))
-                if h <= 3:
-                    prows.append((all_ids[i], all_ids[j], h))
+        for j in range(i + 1, n_sig):
+            h = _pc(int(all_ph[i]) ^ int(all_ph[j]))
+            if h <= 3:
+                a, b = sorted((all_ids[i], all_ids[j]))
+                prows.append((a, b, h))
     out["multimodal_phash_pairs"] = pd.DataFrame(
         prows, columns=["doc_a", "doc_b", "hamming"]
     ).astype({"hamming": np.int32})

@@ -215,7 +215,27 @@ def cell_join(spark, sf_dir):
     """J1 — cell equi-join with grid_disk(1) ring expansion; candidate
     counts per probe point.  The ring explode sits on the probe side, the
     build side is a plain cell equi-key (broadcastable)."""
-    return _cell_join_impl(spark, sf_dir)
+    p = _points(spark, sf_dir)
+    a = p.filter(F.col("event_id") % 2 == 0).select(
+        F.col("event_id").alias("ea"),
+        tile_x_col(F.col("lon"), 16).alias("cx"),
+        tile_y_col(F.col("lat"), 16).alias("cy"),
+    )
+    b = p.filter(F.col("event_id") % 2 == 1).select(
+        F.col("event_id").alias("eb"),
+        tile_x_col(F.col("lon"), 16).alias("cx"),
+        tile_y_col(F.col("lat"), 16).alias("cy"),
+    )
+    offsets = F.array(
+        *[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy")) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    )
+    a_ring = a.withColumn("o", F.explode(offsets)).select(
+        "ea", (F.col("cx") + F.col("o.dx")).alias("cx"), (F.col("cy") + F.col("o.dy")).alias("cy")
+    )
+    joined = a_ring.join(b, ["cx", "cy"])
+    return joined.groupBy(F.col("ea").alias("cell_probe")).agg(
+        F.count(F.lit(1)).alias("n_candidates")
+    )
 
 
 @q(
@@ -260,30 +280,6 @@ def cell_join_sampled(spark, sf_dir):
     return joined.groupBy("cx", "cy").agg(
         F.count(F.lit(1)).alias("n_pairs"),
         (F.count(F.lit(1)) * F.lit(5)).alias("est_pairs"),
-    )
-
-
-def _cell_join_impl(spark, sf_dir):
-    p = _points(spark, sf_dir)
-    a = p.filter(F.col("event_id") % 2 == 0).select(
-        F.col("event_id").alias("ea"),
-        tile_x_col(F.col("lon"), 16).alias("cx"),
-        tile_y_col(F.col("lat"), 16).alias("cy"),
-    )
-    b = p.filter(F.col("event_id") % 2 == 1).select(
-        F.col("event_id").alias("eb"),
-        tile_x_col(F.col("lon"), 16).alias("cx"),
-        tile_y_col(F.col("lat"), 16).alias("cy"),
-    )
-    offsets = F.array(
-        *[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy")) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
-    )
-    a_ring = a.withColumn("o", F.explode(offsets)).select(
-        "ea", (F.col("cx") + F.col("o.dx")).alias("cx"), (F.col("cy") + F.col("o.dy")).alias("cy")
-    )
-    joined = a_ring.join(b, ["cx", "cy"])
-    return joined.groupBy(F.col("ea").alias("cell_probe")).agg(
-        F.count(F.lit(1)).alias("n_candidates")
     )
 
 
