@@ -821,6 +821,56 @@ def test_embedding_cosine_bruteforce_guard(spark):
         D.embedding_cosine_pairs(emb, min_cosine=0.3, max_rows=10)
 
 
+def test_streaming_sessionize_matches_batch(spark, tmp_path):
+    """sessionize_stream (session_window, gap+1 boundary shim) must
+    produce exactly the batch operator's per-session aggregates, across
+    multiple microbatches with late-vs-early file ordering."""
+    import tempfile
+
+    from traffic_engine_spark.operators import relational
+    from traffic_engine_spark.queries import _points
+    from traffic_engine_spark.streaming.match_stream import sessionize_stream
+
+    ev = _points(spark, "/root/testdata/sf0.001").select("user_id", "ts_ms", "event_id")
+    batch = (
+        relational.sessionize(ev, key="user_id", ts_ms="ts_ms", tiebreak="event_id")
+        .groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.min("ts_ms").alias("first_ts"), F.max("ts_ms").alias("last_ts"))
+        .select("user_id", "n_events", "first_ts", "last_ts")
+        .toPandas()
+    )
+
+    pdf = ev.toPandas().sample(frac=1.0, random_state=7)  # shuffled arrival
+    src = tmp_path / "sess_src"
+    os.makedirs(src)
+    n_slices = 3
+    for i in range(n_slices):
+        p = str(src / f"s_{i:02d}.parquet")
+        pdf.iloc[i::n_slices].to_parquet(p, index=False)
+        os.utime(p, (1_000_000 + i, 1_000_000 + i))
+    stream = (
+        spark.readStream.schema("user_id long, ts_ms long, event_id long")
+        .option("maxFilesPerTrigger", 1).parquet(str(src))
+    )
+    out = sessionize_stream(stream)
+    with tempfile.TemporaryDirectory(ignore_cleanup_errors=True) as d:
+        q = (
+            out.writeStream.format("memory").queryName("sess_out")
+            .outputMode("complete")
+            .option("checkpointLocation", os.path.join(d, "ck"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(300)
+        got = spark.sql("select * from sess_out").toPandas()
+
+    key = ["user_id", "n_events", "first_ts", "last_ts"]
+    a = batch[key].sort_values(key).reset_index(drop=True)
+    b = got[key].sort_values(key).reset_index(drop=True)
+    assert len(a) > 50
+    pd.testing.assert_frame_equal(a, b, check_exact=True, check_dtype=False)
+
+
 def test_simhash_64bit_sign_bit(spark):
     """bits=64 must not overflow LongType building the bit-63 literal
     (1 << 63 is not a valid long; its two's-complement value is), and the

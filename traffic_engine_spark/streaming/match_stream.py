@@ -223,6 +223,42 @@ def histograms_to_store_sink(store):
     return sink
 
 
+def sessionize_stream(
+    events: DataFrame,
+    key: str = "user_id",
+    ts_ms: str = "ts_ms",
+    gap_ms: int = 1_800_000,
+    watermark_delay: str | None = None,
+) -> DataFrame:
+    """Streaming twin of operators/relational.sessionize: per-session
+    aggregates via Spark's built-in ``session_window`` over event time.
+
+    Returns (key, n_events, first_ts, last_ts) — the session-level shape
+    a streaming sink can emit (the batch operator's per-event session_id
+    is not expressible incrementally without retraction).  Semantics
+    parity with the batch gap rule: batch starts a new session when
+    ``gap > gap_ms`` (an event at exactly prev + gap_ms stays in the
+    session), while session_window merges on strictly-less-than, so the
+    window gap is ``gap_ms + 1`` — batch == stream on every boundary
+    (test_streaming_sessionize_matches_batch).
+
+    ``watermark_delay`` (e.g. "30 minutes") bounds state for continuous
+    streams with append output; a finite replay under complete mode needs
+    none.  Works on batch DataFrames too (same code path)."""
+    ev = events.withColumn("_ts", F.timestamp_millis(F.col(ts_ms).cast("long")))
+    if watermark_delay is not None:
+        ev = ev.withWatermark("_ts", watermark_delay)
+    return (
+        ev.groupBy(F.col(key), F.session_window("_ts", f"{gap_ms + 1} milliseconds"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(ts_ms).alias("first_ts"),
+            F.max(ts_ms).alias("last_ts"),
+        )
+        .select(key, "n_events", "first_ts", "last_ts")
+    )
+
+
 def offmap_traces_from_stream(
     spark, streamed_samples_pd: pd.DataFrame, segments, jumpers_pd, fixes
 ):
