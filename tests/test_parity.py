@@ -137,6 +137,44 @@ def test_area_zone_offsets_dim(spark, spark_network, images_pd):
     assert offs == odim
 
 
+def test_viterbi_match_exact(spark, spark_network, images_pd):
+    """plans/hmm.viterbi_match (the north rule's named HMM kernel) must
+    equal the single-threaded referee exactly — independent candidate
+    pairing, shared float64 DP core."""
+    from traffic_engine_spark.plans import hmm
+
+    segs, _, _ = spark_network
+    fixes_df = M.decode_fixes(spark.createDataFrame(images_pd))
+    got = hmm.viterbi_match(spark, fixes_df, segs).toPandas()
+    want = pd.DataFrame(
+        O.viterbi_match_oracle(fixes_df.toPandas(), segs.toPandas()),
+        columns=["trace_id", "seq", "ts", "segment_id", "dist_m"],
+    )
+    key = ["trace_id", "seq"]
+    got = got.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    assert len(want) > 100
+    assert (want.segment_id >= 0).sum() > 50  # real matches, not all sentinels
+    pd.testing.assert_frame_equal(got, want, check_exact=True, check_dtype=False)
+
+
+def test_viterbi_partitioning_invariant(spark, spark_network, images_pd):
+    """Viterbi output must be identical under a different partitioning of
+    the fixes (the north rule's cluster-size-independence requirement)."""
+    from traffic_engine_spark.plans import hmm
+
+    segs, _, _ = spark_network
+    fixes_df = M.decode_fixes(spark.createDataFrame(images_pd))
+    a = hmm.viterbi_match(spark, fixes_df, segs).toPandas()
+    b = hmm.viterbi_match(spark, fixes_df.repartition(13), segs).toPandas()
+    key = ["trace_id", "seq"]
+    pd.testing.assert_frame_equal(
+        a.sort_values(key).reset_index(drop=True),
+        b.sort_values(key).reset_index(drop=True),
+        check_exact=True,
+    )
+
+
 def test_uninhabited_tz_polygons_skipped(spark, images_pd):
     """F12 (TimeConverter.java:100-102): a polygon whose tzid is
     'uninhabited' must never capture a point — even when it covers the

@@ -1,0 +1,123 @@
+"""Pure-numpy Viterbi map-matching core (no Spark dependencies).
+
+The north rule names "a per-trace Viterbi/HMM map-matching kernel runs
+inside applyInPandas groups".  The PARITY pipeline (plans/match.py)
+deliberately implements the reference's tripline-crossing state machine
+instead — the correctness gate is exact equality with the reference,
+whose matcher is not an HMM (Vehicle.processVehicle walks tripline
+crossings, Vehicle.java:105-290).  This module supplies the named
+Viterbi kernel as an ADDITIONAL operator (plans/hmm.py): the classic
+Newson & Krumm (2009) shape — Gaussian emission on point→segment
+distance, transition preferring segment continuity — decoded exactly per
+trace.
+
+Shared between the Spark kernel and the single-threaded test oracle so
+both sides are bit-identical float64; the CANDIDATE PAIRING and the
+orchestration around this core are implemented independently on each
+side and verified by exact-match tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# metres per degree of latitude (spherical mean radius 6 371 000 m)
+M_PER_DEG = 111_194.92664455873  # = pi * 6_371_000 / 180
+
+
+def point_segment_dist_m_np(
+    plon: np.ndarray, plat: np.ndarray,
+    ax: np.ndarray, ay: np.ndarray, bx: np.ndarray, by: np.ndarray,
+) -> np.ndarray:
+    """Vectorised equirectangular point→segment distance in metres.
+
+    Projection plane is anchored at each POINT's latitude (the error of a
+    shared cos over a ~200 m segment is sub-millimetre).  Endpoints of a
+    zero-length segment degrade to point distance.  float64 throughout —
+    the oracle calls this same function scalar-wise, so engine and oracle
+    distances are bit-equal.
+    """
+    plon = np.asarray(plon, dtype=np.float64)
+    plat = np.asarray(plat, dtype=np.float64)
+    kx = np.cos(np.radians(plat)) * M_PER_DEG
+    px = plon * kx
+    py = plat * M_PER_DEG
+    axm, aym = np.asarray(ax, np.float64) * kx, np.asarray(ay, np.float64) * M_PER_DEG
+    bxm, bym = np.asarray(bx, np.float64) * kx, np.asarray(by, np.float64) * M_PER_DEG
+    dx, dy = bxm - axm, bym - aym
+    den = dx * dx + dy * dy
+    t = np.where(den > 0.0, ((px - axm) * dx + (py - aym) * dy) / np.where(den > 0.0, den, 1.0), 0.0)
+    t = np.clip(t, 0.0, 1.0)
+    cx, cy = axm + t * dx, aym + t * dy
+    return np.hypot(px - cx, py - cy)
+
+
+def viterbi_decode_np(
+    cand_fix: np.ndarray,      # int64, candidate -> fix index (0..n_fix-1), fix-major sorted
+    cand_seg: np.ndarray,      # int64 segment_id per candidate
+    cand_start: np.ndarray,    # int64 start_node_id per candidate
+    cand_end: np.ndarray,      # int64 end_node_id per candidate
+    cand_dist: np.ndarray,     # float64 point->segment metres per candidate
+    n_fix: int,
+    sigma_m: float = 25.0,
+    trans_adj: float = 1.0,
+    trans_jump: float = 10.0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact Viterbi decode over per-fix candidate sets.
+
+    emission(c)   = (dist/sigma)^2 / 2           (Gaussian log-likelihood)
+    transition    = 0 same segment; trans_adj if the segments share a
+                    node (undirected adjacency); trans_jump otherwise
+    tie-break     = candidates are processed in ascending segment_id per
+                    fix, and argmin takes the FIRST minimum, so every tie
+                    resolves to the lowest segment_id deterministically.
+
+    Fixes with no candidates get segment_id -1 / dist -1.0 and are
+    SKIPPED by the chain (the DP links the previous candidate-bearing fix
+    directly to the next one).  Returns (chosen_seg[n_fix],
+    chosen_dist[n_fix]).
+    """
+    chosen_seg = np.full(n_fix, -1, dtype=np.int64)
+    chosen_dist = np.full(n_fix, -1.0, dtype=np.float64)
+    # fix -> candidate slice (candidates must arrive fix-major, and
+    # ascending segment_id within a fix)
+    slices: list[tuple[int, int]] = []
+    starts = np.searchsorted(cand_fix, np.arange(n_fix), side="left")
+    ends = np.searchsorted(cand_fix, np.arange(n_fix), side="right")
+    active = [i for i in range(n_fix) if ends[i] > starts[i]]
+    if not active:
+        return chosen_seg, chosen_dist
+
+    prev_cost: np.ndarray | None = None
+    prev_slice: tuple[int, int] | None = None
+    back: list[np.ndarray] = []      # per active fix: argmin prev candidate
+    for i in active:
+        lo, hi = int(starts[i]), int(ends[i])
+        emis = (cand_dist[lo:hi] / sigma_m) ** 2 / 2.0
+        if prev_cost is None:
+            cost = emis
+            back.append(np.full(hi - lo, -1, dtype=np.int64))
+        else:
+            plo, phi = prev_slice
+            same = cand_seg[lo:hi][:, None] == cand_seg[plo:phi][None, :]
+            adj = (
+                (cand_start[lo:hi][:, None] == cand_start[plo:phi][None, :])
+                | (cand_start[lo:hi][:, None] == cand_end[plo:phi][None, :])
+                | (cand_end[lo:hi][:, None] == cand_start[plo:phi][None, :])
+                | (cand_end[lo:hi][:, None] == cand_end[plo:phi][None, :])
+            )
+            trans = np.where(same, 0.0, np.where(adj, trans_adj, trans_jump))
+            total = prev_cost[None, :] + trans
+            arg = np.argmin(total, axis=1)
+            cost = emis + total[np.arange(hi - lo), arg]
+            back.append(arg)
+        prev_cost, prev_slice = cost, (lo, hi)
+        slices.append((lo, hi))
+    # backtrack from the best terminal candidate
+    c = int(np.argmin(prev_cost))
+    for k in range(len(active) - 1, -1, -1):
+        lo, hi = slices[k]
+        chosen_seg[active[k]] = cand_seg[lo + c]
+        chosen_dist[active[k]] = cand_dist[lo + c]
+        c = int(back[k][c])
+    return chosen_seg, chosen_dist

@@ -27,7 +27,7 @@ import re
 import numpy as np
 import pandas as pd
 
-_VERSION = 2
+_VERSION = 3
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 ORACLE_DIR = os.path.join(_REPO_ROOT, ".oracle_cache", f"v{_VERSION}")
 
@@ -39,6 +39,7 @@ ENTRIES = [
     "traffic_triplines",
     "multimodal_resize",
     "multimodal_phash_pairs",
+    "traffic_viterbi_match",
     "traffic_tile_invariants",
 ]
 
@@ -152,6 +153,33 @@ def _compute() -> dict[str, pd.DataFrame]:
     out["multimodal_phash_pairs"] = pd.DataFrame(
         prows, columns=["doc_a", "doc_b", "hamming"]
     ).astype({"hamming": np.int32})
+
+    # --- traffic_viterbi_match: the north rule's named HMM kernel --------
+    # referee = pyoracle.viterbi_match_oracle (independent cell-index
+    # pairing, shared float64 DP core); segments from the ORACLE network
+    # build, which the network-parity pytest pins equal to the engine's
+    seg_pd = pd.DataFrame(
+        [(s.segment_id, s.start_node, s.end_node, list(s.lons), list(s.lats))
+         for s in net.segments.values()],
+        columns=["segment_id", "start_node_id", "end_node_id", "lons", "lats"],
+    )
+    # engine input is decode_fixes(images): caption-parsed fields + the
+    # sec->ms coercion — replicate that exactly (same regex as the tile
+    # invariants below, same coercion as functions/binning)
+    from ..functions.binning import coerce_ms_np
+
+    capsv = images_pd["caption"].map(lambda c: _CAPTION_RE.search(c).groups())
+    fixes_pd_v = pd.DataFrame({
+        "trace_id": [int(g[0]) for g in capsv],
+        "ts": coerce_ms_np(np.array([int(g[1]) for g in capsv], dtype=np.int64)),
+        "lat": [float(g[2]) for g in capsv],
+        "lon": [float(g[3]) for g in capsv],
+    })
+    out["traffic_viterbi_match"] = pd.DataFrame(
+        O.viterbi_match_oracle(fixes_pd_v, seg_pd),
+        columns=["trace_id", "seq", "ts", "segment_id", "dist_m"],
+    ).astype({"trace_id": np.int64, "seq": np.int64, "ts": np.int64,
+              "segment_id": np.int64})
 
     # --- traffic_tile_invariants: tile assignment (caption-parsed, exactly
     # like the engine) + payload invariants -------------------------------

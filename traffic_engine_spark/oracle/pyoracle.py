@@ -513,3 +513,72 @@ def tile_assignments(fixes_df):
         "tile_x18": tile_x_np(lon, 18),
         "tile_y18": tile_y_np(lat, 18),
     }
+
+
+def viterbi_match_oracle(
+    fixes_df, segments, k=4, sigma_m=25.0, trans_adj=1.0, trans_jump=10.0
+):
+    """Single-threaded referee for plans/hmm.viterbi_match.
+
+    Candidate PAIRING is implemented independently here (dict cell index
+    over bbox_tiles_np vs the engine's declarative cover-explode
+    equi-join); the Viterbi DP core and the distance function are the
+    SHARED pure-numpy functions (functions/viterbi.py) so float decisions
+    are bit-identical by construction.  ``segments`` is the network
+    table as pandas (segment_id, start/end_node_id, lons, lats).
+
+    Returns a list of (trace_id, seq, ts, segment_id, dist_m) tuples.
+    """
+    from ..functions.viterbi import point_segment_dist_m_np, viterbi_decode_np
+
+    Z = 16
+    cell_index: dict[tuple[int, int], list[int]] = {}
+    seg_rows = list(segments.itertuples(index=False))
+    for si, s in enumerate(seg_rows):
+        ends_lon = [s.lons[0], s.lons[-1]]
+        ends_lat = [s.lats[0], s.lats[-1]]
+        for txy in bbox_tiles_np(ends_lon, ends_lat, zoom=Z, margin=1):
+            cell_index.setdefault(txy, []).append(si)
+
+    out = []
+    for trace_id, grp in fixes_df.groupby("trace_id"):
+        g = grp[["ts", "lat", "lon"]].drop_duplicates().sort_values(
+            ["ts", "lat", "lon"], kind="mergesort"
+        ).reset_index(drop=True)
+        n_fix = len(g)
+        cand_fix, cand_seg, cand_s, cand_e, cand_d = [], [], [], [], []
+        for i, r in enumerate(g.itertuples(index=False)):
+            tx = int(tile_x_np(np.array([r.lon]), Z)[0])
+            ty = int(tile_y_np(np.array([r.lat]), Z)[0])
+            sis = sorted(
+                {si for si in cell_index.get((tx, ty), [])},
+                key=lambda si: seg_rows[si].segment_id,
+            )
+            scored = []
+            for si in sis:
+                s = seg_rows[si]
+                d = float(point_segment_dist_m_np(
+                    np.array([r.lon]), np.array([r.lat]),
+                    np.array([s.lons[0]]), np.array([s.lats[0]]),
+                    np.array([s.lons[-1]]), np.array([s.lats[-1]]),
+                )[0])
+                scored.append((d, s.segment_id, si))
+            scored.sort()
+            kept = sorted(scored[:k], key=lambda t: t[1])  # ascending segment_id
+            for d, seg_id, si in kept:
+                s = seg_rows[si]
+                cand_fix.append(i)
+                cand_seg.append(seg_id)
+                cand_s.append(s.start_node_id)
+                cand_e.append(s.end_node_id)
+                cand_d.append(d)
+        seg, d = viterbi_decode_np(
+            np.array(cand_fix, dtype=np.int64), np.array(cand_seg, dtype=np.int64),
+            np.array(cand_s, dtype=np.int64), np.array(cand_e, dtype=np.int64),
+            np.array(cand_d, dtype=np.float64), n_fix,
+            sigma_m, trans_adj, trans_jump,
+        )
+        for i in range(n_fix):
+            out.append((int(trace_id), i, int(g["ts"].iloc[i]),
+                        int(seg[i]), round(float(d[i]), 6)))
+    return out

@@ -1636,6 +1636,22 @@ def traffic_triplines(spark, sf_dir):
     return _pipeline(spark)[2]
 
 
+@q("traffic_viterbi_match", None)
+def traffic_viterbi_match(spark, sf_dir):
+    """The north rule's named per-trace Viterbi/HMM map-matching kernel
+    (plans/hmm.py): candidate segments by packed-cell equi-join, Gaussian
+    emission + continuity transition decoded in one applyInPandas group
+    per trace.  The parity pipeline keeps the reference's tripline state
+    machine (exactness gate); this is the additional HMM matcher.
+    Oracle: pyoracle.viterbi_match_oracle (independent pairing),
+    materialized parquet."""
+    from .plans import hmm
+    from .plans import match as M
+
+    images, segs = _pipeline(spark)[0], _pipeline(spark)[1]
+    return hmm.viterbi_match(spark, M.decode_fixes(images), segs)
+
+
 @q("multimodal_phash_pairs", None)
 def multimodal_phash_pairs(spark, sf_dir):
     """Image near-duplicate detection by pHash Hamming ball — the image-
