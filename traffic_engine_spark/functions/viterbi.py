@@ -24,6 +24,12 @@ import numpy as np
 # metres per degree of latitude (spherical mean radius 6 371 000 m)
 M_PER_DEG = 111_194.92664455873  # = pi * 6_371_000 / 180
 
+# candidate-pairing zoom: z18 tiles are ~150 m at mid latitudes, so the
+# ±1-ring reach (~450 m) is generous against the σ=25 m emission while
+# keeping per-cell segment fan-out city-block-bounded (z16 was measured
+# to blow the candidate join up ~10× at bench scale)
+Z_HMM = 18
+
 
 def point_segment_dist_m_np(
     plon: np.ndarray, plat: np.ndarray,

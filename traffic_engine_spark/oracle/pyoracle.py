@@ -529,9 +529,8 @@ def viterbi_match_oracle(
 
     Returns a list of (trace_id, seq, ts, segment_id, dist_m) tuples.
     """
+    from ..functions.viterbi import Z_HMM as Z
     from ..functions.viterbi import point_segment_dist_m_np, viterbi_decode_np
-
-    Z = 16
     cell_index: dict[tuple[int, int], list[int]] = {}
     seg_rows = list(segments.itertuples(index=False))
     for si, s in enumerate(seg_rows):

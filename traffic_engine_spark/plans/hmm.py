@@ -3,7 +3,7 @@ as an applyInPandas operator over the declarative candidate pairing.
 
 The parity pipeline (plans/match.py) is the reference's tripline state
 machine (exactness gate); this operator is the ADDITIONAL HMM matcher
-the north star describes: candidate OSM segments are proposed per z16
+the north star describes: candidate OSM segments are proposed per z18
 cell ring by an equi-join on the packed cell key (the same J1 machinery,
 ints only — no float crosses the JVM/Python boundary except fix
 coordinates), and the Gaussian-emission / continuity-transition Viterbi
@@ -11,7 +11,7 @@ decode (functions/viterbi.py, Newson & Krumm 2009 shape) runs inside one
 ``applyInPandas`` group per trace.
 
 Scale shape: the pairing is one bounded-key equi-join (candidates per
-fix = segments covering a 3×3 z16 ring — city-block density), the
+fix = segments covering a 3×3 z18 ring — city-block density), the
 shuffle key is trace_id, and the kernel is numpy over Arrow batches.
 Dense-cell skew is the same axis the pipeline already handles
 (plans/skew.salted_join on the packed key); a trace's candidate rows are
@@ -26,9 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.cells import explode_bbox_cover, pack_xy, tile_x_col, tile_y_col
-from ..functions.viterbi import point_segment_dist_m_np, viterbi_decode_np
-
-Z_HMM = 16
+from ..functions.viterbi import Z_HMM, point_segment_dist_m_np, viterbi_decode_np
 
 MATCH_SCHEMA = (
     "trace_id long, seq long, ts long, segment_id long, dist_m double"
@@ -36,7 +34,7 @@ MATCH_SCHEMA = (
 
 
 def _segment_cover(segments: DataFrame) -> DataFrame:
-    """(packed cell, segment endpoint dim): one row per z16 tile (±1 ring)
+    """(packed cell, segment endpoint dim): one row per z18 tile (±1 ring)
     a segment's bbox covers."""
     seg = segments.select(
         "segment_id", "start_node_id", "end_node_id",
@@ -80,31 +78,31 @@ def viterbi_match(
         ).alias("_ck"),
     )
     # left join: fixes whose ring holds no segment still reach the kernel
-    # (they must emit the -1 sentinel and break no chains)
-    cand = fx.join(cover, "_ck", "left")
+    # (they must emit the -1 sentinel and break no chains).  The join key
+    # is dropped before the Arrow boundary — at ~19 candidates/fix
+    # (measured, bench city z18) the candidate payload is the operator's
+    # dominant cost, so every shipped column counts.
+    cand = fx.join(cover, "_ck", "left").drop("_ck")
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         trace_id = int(pdf["trace_id"].iloc[0])
-        # fix identity = (ts, lat, lon); seq = rank in that order
-        fix_keys = (
-            pdf[["ts", "lat", "lon"]]
-            .drop_duplicates()
-            .sort_values(["ts", "lat", "lon"], kind="mergesort")
-            .reset_index(drop=True)
-        )
+        # fix identity = (ts, lat, lon); seq = rank in that order.
+        # EVERYTHING below is vectorised pandas/numpy — a dict-comprehension
+        # formulation was measured 100× slower at bench scale (per-row
+        # Python over the candidate rows)
+        pdf = pdf.sort_values(["ts", "lat", "lon"], kind="mergesort")
+        # exact run-length fix ids over the sorted keys (no hashing — a
+        # hash collision would silently merge two fixes)
+        k1 = pdf["ts"].to_numpy()
+        k2 = pdf["lat"].to_numpy()
+        k3 = pdf["lon"].to_numpy()
+        new = np.ones(len(pdf), dtype=bool)
+        new[1:] = (k1[1:] != k1[:-1]) | (k2[1:] != k2[:-1]) | (k3[1:] != k3[:-1])
+        pdf = pdf.assign(_fi=np.cumsum(new) - 1)
+        fix_keys = pdf.drop_duplicates("_fi")[["ts", "lat", "lon"]].reset_index(drop=True)
         n_fix = len(fix_keys)
-        key_to_ix = {
-            (t, la, lo): i
-            for i, (t, la, lo) in enumerate(
-                zip(fix_keys["ts"], fix_keys["lat"], fix_keys["lon"])
-            )
-        }
-        has = pdf[pdf["segment_id"].notna()].copy()
+        has = pdf[pdf["segment_id"].notna()]
         if len(has):
-            has["_fi"] = [
-                key_to_ix[(t, la, lo)]
-                for t, la, lo in zip(has["ts"], has["lat"], has["lon"])
-            ]
             # one candidate per (fix, segment) even when several covered
             # ring tiles matched; ascending segment_id within a fix is the
             # tie-break order the decode relies on
