@@ -113,6 +113,14 @@ def main():
     timings["traffic_pipeline_dict"] = round(time.time() - t0, 3)
     log(f"pipeline(dict A/B): {n_hist_p} hist rows in {timings['traffic_pipeline_dict']}s")
 
+    # --- Viterbi/HMM map matching (the north rule's named kernel) ---------
+    from traffic_engine_spark.plans import hmm
+
+    t0 = time.time()
+    n_vit = hmm.viterbi_match(spark, M.decode_fixes(images), segs).count()
+    timings["viterbi_match"] = round(time.time() - t0, 3)
+    log(f"viterbi: {n_vit} matched fixes in {timings['viterbi_match']}s")
+
     # --- HEADLINE: tile assignment over every image row -------------------
     t0 = time.time()
     n_tiles = TI.assign_tiles(images).count()
