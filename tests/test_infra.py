@@ -972,6 +972,27 @@ def test_deterministic_sample_nesting_and_stability(spark):
     assert shuffled == keep[0.3]
 
 
+def test_contamination_near_dup_catches_truncation(spark):
+    """Truncated copies have NO exact-fingerprint match but must be
+    flagged by the cross-corpus MinHash sweep at high recall."""
+    from traffic_engine_spark.functions.text import ws_tokens
+    from traffic_engine_spark.operators import dedup as D
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    toks = ws_tokens(F.col("text"))
+    cnt = F.greatest(F.floor(F.size(toks) * 0.6).cast("int"), F.lit(1))
+    ev = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 10_000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(toks, F.lit(1), cnt)).alias("text"),
+    )
+    n_ev = ev.count()
+    exact = D.contamination_pairs(docs, ev).count()
+    assert exact == 0  # truncation defeats the exact fingerprint
+    near = D.contamination_near_dup_pairs(docs, ev, band_size=2, min_jaccard=0.4).toPandas()
+    flagged_sources = set(near.eval_doc_id - 10_000) & set(near.train_doc_id)
+    assert len(flagged_sources) >= 0.9 * n_ev  # ≥90% recall at J≈0.6
+
+
 def test_contamination_pairs_catches_formatting_variants(spark):
     from traffic_engine_spark.operators.dedup import contamination_pairs
 

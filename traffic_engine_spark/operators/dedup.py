@@ -403,6 +403,75 @@ def ngram_jaccard_prefix_pairs(
     )
 
 
+def contamination_near_dup_pairs(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    n_hashes: int = 16,
+    band_size: int = 4,
+    shingle_k: int = 3,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """NEAR-DUP train/eval contamination (paraphrase / truncation
+    leakage the exact-fingerprint sweep misses): MinHash band keys on
+    BOTH corpora, a cross-corpus band equi-join (train never self-joins),
+    then exact Jaccard verify over the candidate shingle sets.
+
+    Returns (eval_doc_id, train_doc_id, jaccard), one row per qualifying
+    pair.  Scale shape mirrors `minhash_lsh_pairs`: the train side is
+    scanned once into signatures, the join key is the bounded (band,
+    bkey) bucket, and the verify joins touch only candidate docs — with
+    a benchmark-sized eval set the bucket join broadcasts the eval bands
+    and the sweep is one pass over the training corpus."""
+    assert n_hashes % band_size == 0
+    n_bands = n_hashes // band_size
+
+    def bands_of(docs, id_alias):
+        sig = minhash_signature_array(docs, text_col, n_hashes, shingle_k)
+        band_keys = F.array(*[
+            F.md5(F.concat_ws(",", F.slice(F.col("sig"), i * band_size + 1, band_size)))
+            for i in range(n_bands)
+        ])
+        return sig.select(
+            F.col("doc_id").alias(id_alias),
+            F.posexplode(band_keys).alias("band", "bkey"),
+        )
+
+    cand = (
+        bands_of(train, "train_doc_id")
+        .join(F.broadcast(bands_of(eval_docs, "eval_doc_id")), ["band", "bkey"])
+        .select("eval_doc_id", "train_doc_id")
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def sets_of(docs, id_alias, ids):
+        return (
+            docs.join(F.broadcast(ids), docs["doc_id"] == ids[id_alias], "left_semi")
+            # materialise toks BEFORE the shingle HOF — an inline tokenise
+            # is re-evaluated per shingle (shingles_from_tokens perf note)
+            .select(F.col("doc_id").alias(id_alias), ws_tokens(F.col(text_col)).alias("toks"))
+            .select(
+                id_alias,
+                F.array_distinct(
+                    shingles_from_tokens(F.col("toks"), shingle_k)
+                ).alias("sh"),
+            )
+        )
+
+    t_sets = sets_of(train, "train_doc_id", cand.select("train_doc_id").distinct())
+    e_sets = sets_of(eval_docs, "eval_doc_id", cand.select("eval_doc_id").distinct())
+    return (
+        cand.join(F.broadcast(e_sets.withColumnRenamed("sh", "sh_e")), "eval_doc_id")
+        .join(F.broadcast(t_sets.withColumnRenamed("sh", "sh_t")), "train_doc_id")
+        .withColumn("inter", F.size(F.array_intersect("sh_e", "sh_t")).cast("double"))
+        .withColumn("uni", F.size(F.array_union("sh_e", "sh_t")).cast("double"))
+        .withColumn("jaccard", F.round(F.col("inter") / F.col("uni"), 6))
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("eval_doc_id", "train_doc_id", "jaccard")
+    )
+
+
 def contamination_pairs(
     train: DataFrame, eval_docs: DataFrame, text_col: str = "text"
 ) -> DataFrame:

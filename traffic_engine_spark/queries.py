@@ -1363,6 +1363,58 @@ def text_fingerprint(spark, sf_dir):
 
 
 @q(
+    "contamination_near_dup",
+    f"""
+WITH norm AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+ev AS (SELECT doc_id + 1000000 AS doc_id,
+              list_slice(toks, 1, greatest(CAST(floor(len(toks)*0.6) AS BIGINT), 1)) AS toks
+       FROM norm WHERE doc_id % 10 = 0),
+t_sh AS (SELECT doc_id, unnest({_SQL_SHINGLES3}) AS s FROM norm),
+e_sh AS (SELECT doc_id, unnest({_SQL_SHINGLES3}) AS s FROM ev),
+t_base AS (SELECT doc_id, {_sql_hash('s')} % 2147483647 AS h0 FROM t_sh),
+e_base AS (SELECT doc_id, {_sql_hash('s')} % 2147483647 AS h0 FROM e_sh),
+t_sig AS (SELECT doc_id, j, min(({_MH_A}[j+1] * h0 + {_MH_B}[j+1]) % 2147483647) AS h
+          FROM t_base CROSS JOIN (SELECT unnest(range(16)) AS j) GROUP BY doc_id, j),
+e_sig AS (SELECT doc_id, j, min(({_MH_A}[j+1] * h0 + {_MH_B}[j+1]) % 2147483647) AS h
+          FROM e_base CROSS JOIN (SELECT unnest(range(16)) AS j) GROUP BY doc_id, j),
+t_bands AS (SELECT doc_id, j // 2 AS band, md5(string_agg(h::VARCHAR, ',' ORDER BY j)) AS bkey
+            FROM t_sig GROUP BY doc_id, j // 2),
+e_bands AS (SELECT doc_id, j // 2 AS band, md5(string_agg(h::VARCHAR, ',' ORDER BY j)) AS bkey
+            FROM e_sig GROUP BY doc_id, j // 2),
+cand AS (SELECT DISTINCT e.doc_id AS eval_doc_id, t.doc_id AS train_doc_id
+         FROM t_bands t JOIN e_bands e ON t.band = e.band AND t.bkey = e.bkey),
+t_set AS (SELECT doc_id, list_distinct({_SQL_SHINGLES3}) AS sh FROM norm),
+e_set AS (SELECT doc_id, list_distinct({_SQL_SHINGLES3}) AS sh FROM ev)
+SELECT eval_doc_id, train_doc_id,
+       round(len(list_intersect(e.sh, t.sh))::DOUBLE
+             / (len(e.sh) + len(t.sh) - len(list_intersect(e.sh, t.sh)))::DOUBLE, 6) AS jaccard
+FROM cand JOIN e_set e ON e.doc_id = eval_doc_id JOIN t_set t ON t.doc_id = train_doc_id
+WHERE round(len(list_intersect(e.sh, t.sh))::DOUBLE
+            / (len(e.sh) + len(t.sh) - len(list_intersect(e.sh, t.sh)))::DOUBLE, 6) >= 0.4
+""",
+)
+def contamination_near_dup(spark, sf_dir):
+    """NEAR-DUP train/eval leakage (operators/dedup.
+    contamination_near_dup_pairs): the eval split is a 60%-prefix
+    TRUNCATION of every 10th train doc — zero exact-fingerprint matches,
+    but Jaccard ≈ 0.6 against the source.  Banding is 8 bands × 2 hashes:
+    recall at J=0.6 is 1-(1-0.6²)⁸ ≈ 0.97 (4-hash bands measured only
+    ~40% — the r/L dial is the recall/cost knob, LSH theory working as
+    designed).  This is the paraphrase/truncation leak class the exact
+    sweep (contamination_exact) cannot see."""
+    from .functions.text import ws_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = ws_tokens(F.col("text"))
+    cnt = F.greatest(F.floor(F.size(toks) * 0.6).cast("int"), F.lit(1))
+    ev = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(toks, F.lit(1), cnt)).alias("text"),
+    )
+    return dedup.contamination_near_dup_pairs(docs, ev, band_size=2, min_jaccard=0.4)
+
+
+@q(
     "sample_stratified",
     f"""
 SELECT doc_id, lang, source
