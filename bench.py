@@ -117,7 +117,7 @@ def main():
     from traffic_engine_spark.plans import hmm
 
     t0 = time.time()
-    n_vit = hmm.viterbi_match(spark, M.decode_fixes(images), segs).count()
+    n_vit = hmm.viterbi_match(M.decode_fixes(images), segs).count()
     timings["viterbi_match"] = round(time.time() - t0, 3)
     log(f"viterbi: {n_vit} matched fixes in {timings['viterbi_match']}s")
 

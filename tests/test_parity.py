@@ -5,6 +5,7 @@ must match the pure-Python reference oracle exactly."""
 import numpy as np
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from traffic_engine_spark.oracle import pyoracle as O
 from traffic_engine_spark.plans import match as M
@@ -145,7 +146,19 @@ def test_viterbi_match_exact(spark, spark_network, images_pd):
 
     segs, _, _ = spark_network
     fixes_df = M.decode_fixes(spark.createDataFrame(images_pd))
-    got = hmm.viterbi_match(spark, fixes_df, segs).toPandas()
+    # inject a far-off fix into an existing trace: the MIXED
+    # covered/uncovered group is the case where a nullable segment_id
+    # would decay the whole Arrow column to float64 and round 60-bit ids
+    # (regression for that exact bug) — the -1 sentinel must coexist with
+    # exact ids in one group
+    first_trace = fixes_df.select("trace_id").first()[0]
+    stray = fixes_df.limit(1).select(
+        "image_id", F.lit(int(first_trace)).alias("trace_id"),
+        (F.col("ts") + 1).alias("ts"),
+        F.lit(37.05).alias("lat"), F.lit(-122.9).alias("lon"),
+    )
+    fixes_df = fixes_df.unionByName(stray)
+    got = hmm.viterbi_match(fixes_df, segs).toPandas()
     want = pd.DataFrame(
         O.viterbi_match_oracle(fixes_df.toPandas(), segs.toPandas()),
         columns=["trace_id", "seq", "ts", "segment_id", "dist_m"],
@@ -155,6 +168,7 @@ def test_viterbi_match_exact(spark, spark_network, images_pd):
     want = want.sort_values(key).reset_index(drop=True)
     assert len(want) > 100
     assert (want.segment_id >= 0).sum() > 50  # real matches, not all sentinels
+    assert (want.segment_id == -1).any()  # the stray fix DID hit the sentinel path
     pd.testing.assert_frame_equal(got, want, check_exact=True, check_dtype=False)
 
 
@@ -165,8 +179,8 @@ def test_viterbi_partitioning_invariant(spark, spark_network, images_pd):
 
     segs, _, _ = spark_network
     fixes_df = M.decode_fixes(spark.createDataFrame(images_pd))
-    a = hmm.viterbi_match(spark, fixes_df, segs).toPandas()
-    b = hmm.viterbi_match(spark, fixes_df.repartition(13), segs).toPandas()
+    a = hmm.viterbi_match(fixes_df, segs).toPandas()
+    b = hmm.viterbi_match(fixes_df.repartition(13), segs).toPandas()
     key = ["trace_id", "seq"]
     pd.testing.assert_frame_equal(
         a.sort_values(key).reset_index(drop=True),

@@ -463,7 +463,11 @@ def contamination_near_dup_pairs(
     e_sets = sets_of(eval_docs, "eval_doc_id", cand.select("eval_doc_id").distinct())
     return (
         cand.join(F.broadcast(e_sets.withColumnRenamed("sh", "sh_e")), "eval_doc_id")
-        .join(F.broadcast(t_sets.withColumnRenamed("sh", "sh_t")), "train_doc_id")
+        # NO broadcast hint on the train sets: candidate train docs grow
+        # with the corpus when contamination is widespread — exactly this
+        # operator's use case — and a forced broadcast of unbounded
+        # shingle arrays would kill the driver; AQE broadcasts when small
+        .join(t_sets.withColumnRenamed("sh", "sh_t"), "train_doc_id")
         .withColumn("inter", F.size(F.array_intersect("sh_e", "sh_t")).cast("double"))
         .withColumn("uni", F.size(F.array_union("sh_e", "sh_t")).cast("double"))
         .withColumn("jaccard", F.round(F.col("inter") / F.col("uni"), 6))

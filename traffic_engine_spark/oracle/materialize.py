@@ -168,12 +168,12 @@ def _compute() -> dict[str, pd.DataFrame]:
     # invariants below, same coercion as functions/binning)
     from ..functions.binning import coerce_ms_np
 
-    capsv = images_pd["caption"].map(lambda c: _CAPTION_RE.search(c).groups())
+    caps = images_pd["caption"].map(lambda c: _CAPTION_RE.search(c).groups())
     fixes_pd_v = pd.DataFrame({
-        "trace_id": [int(g[0]) for g in capsv],
-        "ts": coerce_ms_np(np.array([int(g[1]) for g in capsv], dtype=np.int64)),
-        "lat": [float(g[2]) for g in capsv],
-        "lon": [float(g[3]) for g in capsv],
+        "trace_id": [int(g[0]) for g in caps],
+        "ts": coerce_ms_np(np.array([int(g[1]) for g in caps], dtype=np.int64)),
+        "lat": [float(g[2]) for g in caps],
+        "lon": [float(g[3]) for g in caps],
     })
     out["traffic_viterbi_match"] = pd.DataFrame(
         O.viterbi_match_oracle(fixes_pd_v, seg_pd),
@@ -183,7 +183,6 @@ def _compute() -> dict[str, pd.DataFrame]:
 
     # --- traffic_tile_invariants: tile assignment (caption-parsed, exactly
     # like the engine) + payload invariants -------------------------------
-    caps = images_pd["caption"].map(lambda c: _CAPTION_RE.search(c).groups())
     lat = np.array([float(g[2]) for g in caps], dtype=np.float64)
     lon = np.array([float(g[3]) for g in caps], dtype=np.float64)
     x18, y18 = tile_x_np(lon, 18), tile_y_np(lat, 18)

@@ -531,6 +531,7 @@ def viterbi_match_oracle(
     """
     from ..functions.viterbi import Z_HMM as Z
     from ..functions.viterbi import point_segment_dist_m_np, viterbi_decode_np
+    fixes_df = fixes_df[np.isfinite(fixes_df["lat"]) & np.isfinite(fixes_df["lon"])]
     cell_index: dict[tuple[int, int], list[int]] = {}
     seg_rows = list(segments.itertuples(index=False))
     for si, s in enumerate(seg_rows):
@@ -578,6 +579,8 @@ def viterbi_match_oracle(
             sigma_m, trans_adj, trans_jump,
         )
         for i in range(n_fix):
+            # np.round, NOT Python round: they disagree on half-boundary
+            # values and the engine side rounds with np.round
             out.append((int(trace_id), i, int(g["ts"].iloc[i]),
-                        int(seg[i]), round(float(d[i]), 6)))
+                        int(seg[i]), float(np.round(d[i], 6))))
     return out

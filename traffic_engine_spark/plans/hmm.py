@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.cells import explode_bbox_cover, pack_xy, tile_x_col, tile_y_col
@@ -53,7 +53,6 @@ def _segment_cover(segments: DataFrame) -> DataFrame:
 
 
 def viterbi_match(
-    spark: SparkSession,
     fixes: DataFrame,
     segments: DataFrame,
     k: int = 4,
@@ -71,6 +70,10 @@ def viterbi_match(
     parallelism (test_viterbi_partitioning_invariant).
     """
     cover = _segment_cover(segments)
+    # NaN coordinates (decode_fixes keeps try_cast'd NaN) are garbage for
+    # matching AND poison fix identity (NaN != NaN splits runs while the
+    # oracle's drop_duplicates merges them) — drop them on both sides
+    fixes = fixes.filter(~F.isnan("lat") & ~F.isnan("lon"))
     fx = fixes.select(
         "trace_id", "ts", "lat", "lon",
         pack_xy(
@@ -82,7 +85,20 @@ def viterbi_match(
     # is dropped before the Arrow boundary — at ~19 candidates/fix
     # (measured, bench city z18) the candidate payload is the operator's
     # dominant cost, so every shipped column counts.
-    cand = fx.join(cover, "_ck", "left").drop("_ck")
+    # coalesce the dim columns to sentinels so they stay NON-NULL int64
+    # through Arrow: a single null makes pandas materialise the column as
+    # float64, which rounds 60-bit md5 segment ids (2^53 ulp) — reproduced
+    # as off-by-one ids on mixed covered/uncovered traces
+    cand = (
+        fx.join(cover, "_ck", "left").drop("_ck")
+        .withColumn("segment_id", F.coalesce(F.col("segment_id"), F.lit(-1)))
+        .withColumn("start_node_id", F.coalesce(F.col("start_node_id"), F.lit(-1)))
+        .withColumn("end_node_id", F.coalesce(F.col("end_node_id"), F.lit(-1)))
+        .withColumn("ax", F.coalesce(F.col("ax"), F.lit(0.0)))
+        .withColumn("ay", F.coalesce(F.col("ay"), F.lit(0.0)))
+        .withColumn("bx", F.coalesce(F.col("bx"), F.lit(0.0)))
+        .withColumn("by", F.coalesce(F.col("by"), F.lit(0.0)))
+    )
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         trace_id = int(pdf["trace_id"].iloc[0])
@@ -101,7 +117,7 @@ def viterbi_match(
         pdf = pdf.assign(_fi=np.cumsum(new) - 1)
         fix_keys = pdf.drop_duplicates("_fi")[["ts", "lat", "lon"]].reset_index(drop=True)
         n_fix = len(fix_keys)
-        has = pdf[pdf["segment_id"].notna()]
+        has = pdf[pdf["segment_id"] >= 0]
         if len(has):
             # one candidate per (fix, segment) even when several covered
             # ring tiles matched; ascending segment_id within a fix is the

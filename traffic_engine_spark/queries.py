@@ -1701,7 +1701,7 @@ def traffic_viterbi_match(spark, sf_dir):
     from .plans import match as M
 
     images, segs = _pipeline(spark)[0], _pipeline(spark)[1]
-    return hmm.viterbi_match(spark, M.decode_fixes(images), segs)
+    return hmm.viterbi_match(M.decode_fixes(images), segs)
 
 
 @q("multimodal_phash_pairs", None)
