@@ -77,8 +77,12 @@ def test_offset_curve_distance(pts, off):
     exactly by |off|."""
     lons = np.array([p[0] for p in pts])
     lats = np.array([p[1] for p in pts])
-    # drop degenerate consecutive duplicates
-    keep = np.concatenate([[True], (np.diff(lons) != 0) | (np.diff(lats) != 0)])
+    # drop degenerate edges with the OPERATOR's own rule (subnormal-length
+    # edges are dropped too — dividing by a subnormal norm is inexact, see
+    # offset_curve_np)
+    keep = np.concatenate(
+        [[True], np.hypot(np.diff(lons), np.diff(lats)) > 1e-300]
+    )
     lons, lats = lons[keep], lats[keep]
     if len(lons) < 2:
         return

@@ -285,7 +285,12 @@ def offset_curve_np(lons: np.ndarray, lats: np.ndarray, offset_deg: float):
     p = np.stack([np.asarray(lons, dtype=np.float64), np.asarray(lats, dtype=np.float64)], axis=1)
     d = np.diff(p, axis=0)
     ln = np.hypot(d[:, 0], d[:, 1])
-    keep = ln > 0
+    # drop SUBNORMAL-length edges too, not just exact zeros: dividing a
+    # subnormal component by a subnormal norm is inexact (d/ln came out
+    # 0.71 instead of 0.7071 on a 5e-324° edge — hypothesis-found), so
+    # the unit normal and every downstream mitre would be garbage.
+    # 1e-300 degrees is ~1e-286 nanometres — nothing real is dropped.
+    keep = ln > 1e-300
     if not keep.any():
         return p[:, 0].copy(), p[:, 1].copy()
     # collapse zero-length edges
