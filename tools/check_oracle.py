@@ -49,6 +49,18 @@ def main():
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
 
     qs, osql = E.queries(), E.oracle_sql()
+    if "--yardsticks" in only:
+        # also gate the pytest-only yardsticks (retired from the driver's
+        # capped window; see REGISTRY_MANIFEST.json) against their SQL
+        only.discard("--yardsticks")
+        from traffic_engine_spark.queries import YARDSTICKS
+
+        for yname, (yfn, ysql) in YARDSTICKS.items():
+            qs[yname] = yfn
+            if ysql is not None:
+                osql[yname] = ysql
+        if not only:
+            only = set(YARDSTICKS)
     failures = []
     for name, fn in qs.items():
         if only and name not in only:

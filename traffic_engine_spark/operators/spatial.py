@@ -59,46 +59,151 @@ def knn_join_cells(
     k: int = 3,
     point_id: str = "point_id",
     station_id: str = "station_id",
+    exact: bool = True,
+    max_ring: int = 64,
 ) -> DataFrame:
-    """Scale path: candidates via cell-ring equi-join (grid_disk explode on
-    the *station* side — the small side carries the ring replication), then
-    exact refine + rank.  Correct when the ring radius covers the k-th
-    neighbour distance; widen `ring` or coarsen `zoom` otherwise."""
-    p = points.withColumn("cx", tile_x_col(F.col("lon"), zoom)).withColumn(
-        "cy", tile_y_col(F.col("lat"), zoom)
+    """Scale path for kNN: candidates via cell-ring equi-join, exact refine
+    + rank — and, with ``exact=True`` (default), guaranteed-radius
+    escalation so the result is EXACT at any point/station density, not
+    just when the initial ring happens to cover the k-th neighbour:
+
+    1. Ring join at ``ring`` with the grid_disk explode on the *station*
+       side (the small side carries the (2r+1)^2 replication).
+    2. A point is *proven done* when it has k candidates and its k-th
+       distance is strictly inside the radius the ring guarantees covered:
+       any station outside a Chebyshev-r tile disk is > r*min(tile_w,
+       tile_h) degrees away (tile_h under-estimated via the Mercator
+       cos(lat) row-height bound, so the test is conservative).
+    3. The residual (typically a sliver: sparse neighbourhoods, points near
+       their k-th neighbour's ring edge) re-runs with ring*4, now exploding
+       the *point* side — the residual is the small side.  Above
+       ``max_ring`` the residual falls back to a broadcast-points brute
+       refine against the full station set.
+
+    ``exact=True`` is EAGER: the escalation loop runs Spark jobs
+    (localCheckpoint + isEmpty per round) at call time.  ``exact=False``
+    restores the lazy single-pass ring join (caller asserts coverage).
+    """
+    tile_w = 360.0 / (1 << zoom)
+    s_base = stations.select(
+        F.col(station_id),
+        F.col("lat").alias("s_lat"),
+        F.col("lon").alias("s_lon"),
+        tile_x_col(F.col("lon"), zoom).alias("scx"),
+        tile_y_col(F.col("lat"), zoom).alias("scy"),
     )
-    offsets = F.array(
-        *[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy")) for dx, dy in grid_disk_offsets(ring)]
-    )
-    s = (
-        stations.withColumn("scx", tile_x_col(F.col("lon"), zoom))
-        .withColumn("scy", tile_y_col(F.col("lat"), zoom))
-        .withColumn("o", F.explode(offsets))
-        .select(
-            F.col(station_id),
-            F.col("lat").alias("s_lat"),
-            F.col("lon").alias("s_lon"),
-            (F.col("scx") + F.col("o.dx")).alias("cx"),
-            (F.col("scy") + F.col("o.dy")).alias("cy"),
+
+    def _offsets(r: int):
+        return F.array(
+            *[
+                F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                for dx, dy in grid_disk_offsets(r)
+            ]
         )
-    )
+
+    out_cols = [point_id, "rank", station_id, F.round("dist2", 12).alias("dist2")]
     # single packed long join key (functions/cells.pack_xy) — 2× over a
     # two-field key at volume
     pack = pack_xy(F.col("cx"), F.col("cy"))
-    scored = (
-        p.withColumn("_ck", pack)
-        .join(s.withColumn("_ck", pack).drop("cx", "cy"), "_ck")
-        .withColumn(
-            "dist2",
-            equirect_dist2(F.col("lat"), F.col("lon"), F.col("s_lat"), F.col("s_lon")),
-        )
-    )
     w = Window.partitionBy(point_id).orderBy(F.col("dist2"), F.col(station_id))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(point_id, "rank", station_id, F.round("dist2", 12).alias("dist2"))
-    )
+
+    def _topk(pts: DataFrame, r: int, explode_points: bool) -> DataFrame:
+        if explode_points:
+            p = (
+                pts.withColumn("o", F.explode(_offsets(r)))
+                .select(
+                    point_id,
+                    "lat",
+                    "lon",
+                    (tile_x_col(F.col("lon"), zoom) + F.col("o.dx")).alias("cx"),
+                    (tile_y_col(F.col("lat"), zoom) + F.col("o.dy")).alias("cy"),
+                )
+            )
+            s = s_base.select(
+                station_id, "s_lat", "s_lon",
+                F.col("scx").alias("cx"), F.col("scy").alias("cy"),
+            )
+        else:
+            p = pts.select(
+                point_id,
+                "lat",
+                "lon",
+                tile_x_col(F.col("lon"), zoom).alias("cx"),
+                tile_y_col(F.col("lat"), zoom).alias("cy"),
+            )
+            s = s_base.withColumn("o", F.explode(_offsets(r))).select(
+                station_id,
+                "s_lat",
+                "s_lon",
+                (F.col("scx") + F.col("o.dx")).alias("cx"),
+                (F.col("scy") + F.col("o.dy")).alias("cy"),
+            )
+        scored = (
+            p.withColumn("_ck", pack)
+            .drop("cx", "cy")
+            .join(s.withColumn("_ck", pack).drop("cx", "cy"), "_ck")
+            .withColumn(
+                "dist2",
+                equirect_dist2(F.col("lat"), F.col("lon"), F.col("s_lat"), F.col("s_lon")),
+            )
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(point_id, "lat", "lon", "rank", station_id, "dist2")
+        )
+
+    if not exact:
+        return _topk(points, ring, explode_points=False).select(*out_cols)
+
+    remaining = points.select(point_id, "lat", "lon")
+    out: DataFrame | None = None
+    r, first = ring, True
+    while True:
+        if r > max_ring:
+            # brute residual: broadcast the (tiny) unresolved point set
+            # against the full station scan.  No ring can be trusted here
+            # (k-th neighbour arbitrarily far / fewer than k stations).
+            scored = (
+                s_base.join(F.broadcast(remaining))
+                .withColumn(
+                    "dist2",
+                    equirect_dist2(
+                        F.col("lat"), F.col("lon"), F.col("s_lat"), F.col("s_lon")
+                    ),
+                )
+                .withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .select(*out_cols)
+            )
+            out = scored if out is None else out.unionByName(scored)
+            break
+        cand = _topk(remaining, r, explode_points=not first)
+        # conservative guaranteed-covered radius for Chebyshev ring r:
+        # lon axis = r*tile_w exactly; lat axis under-estimated via the
+        # Mercator row-height bound at the window's worst latitude
+        h_bound = F.lit(tile_w) * F.cos(
+            F.radians(F.least(F.lit(89.9), F.abs(F.col("lat")) + F.lit((r + 1) * tile_w)))
+        )
+        guarantee = (F.lit(float(r)) * F.least(F.lit(tile_w), h_bound)) ** 2
+        wp = Window.partitionBy(point_id)
+        cand = (
+            cand.withColumn("_n", F.max("rank").over(wp))
+            .withColumn("_kd", F.max("dist2").over(wp))
+            .withColumn("_ok", (F.col("_n") == k) & (F.col("_kd") < guarantee))
+            .localCheckpoint()  # ≤ k rows/point; reused for sat + residual
+        )
+        sat = cand.filter(F.col("_ok")).select(*out_cols)
+        out = sat if out is None else out.unionByName(sat)
+        remaining = remaining.join(
+            cand.filter(F.col("_ok")).select(point_id).distinct(),
+            point_id,
+            "left_anti",
+        ).localCheckpoint()
+        if remaining.isEmpty():
+            break
+        r, first = r * 4, False
+    return out
 
 
 # ---------------------------------------------------------------------------

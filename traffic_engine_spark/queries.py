@@ -141,6 +141,32 @@ def q(name: str, sql: str | None):
     return deco
 
 
+# Pytest-only yardsticks: brute-force or redundant variants kept for
+# cross-checking a registered scale path, but excluded from the driver's
+# capped CORRECTNESS window so every driver slot goes to a distinct
+# operator.  Each maps to its scale twin in YARDSTICK_TWINS; the pairs are
+# exercised by tests/test_yardsticks.py and tools/check_oracle.py
+# --yardsticks.
+YARDSTICKS: dict[str, tuple] = {}
+
+YARDSTICK_TWINS = {
+    "knn_join": "knn_join_cells",
+    "ann_topk": "ann_lsh_topk",
+    "ann_lsh_buckets": "ann_lsh_topk",
+    "dedup_embedding_cosine": "dedup_embedding_lsh",
+    "dedup_ngram_jaccard": "dedup_ngram_prefix",
+    "rollup_agg": "rollup_weeks",
+}
+
+
+def yq(name: str, sql: str | None):
+    def deco(fn):
+        YARDSTICKS[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
 # =========================== spatial / traffic =============================
 
 
@@ -283,7 +309,7 @@ def cell_join_sampled(spark, sf_dir):
     )
 
 
-@q(
+@yq(
     "knn_join",
     f"""
 WITH {PTS_CTE},
@@ -871,7 +897,7 @@ def topk_per_group(spark, sf_dir):
     return out.select("l_suppkey", "rank", "l_partkey", "revenue")
 
 
-@q(
+@yq(
     "rollup_agg",
     """
 SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 4) AS sum_qty,
@@ -1160,7 +1186,7 @@ def type_stats_q(spark, sf_dir):
     )
 
 
-@q(
+@yq(
     "dedup_ngram_jaccard",
     f"""
 WITH norm AS (SELECT doc_id, lang, source, {_SQL_TOKS} AS toks FROM documents),
@@ -1203,7 +1229,7 @@ def dedup_ngram_prefix(spark, sf_dir):
     )
 
 
-@q(
+@yq(
     "dedup_embedding_cosine",
     """
 WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings)
@@ -1223,7 +1249,7 @@ def dedup_embedding_cosine(spark, sf_dir):
     return dedup.embedding_cosine_pairs(_t(spark, sf_dir, "embeddings"), min_cosine=0.3)
 
 
-@q(
+@yq(
     "ann_topk",
     """
 WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings WHERE vec_id % 50 = 0),
@@ -1246,7 +1272,7 @@ def ann_topk(spark, sf_dir):
     return ann.brute_topk(emb.filter(F.col("vec_id") % 50 == 0), emb, k=5)
 
 
-@q(
+@yq(
     "ann_lsh_buckets",
     f"""
 SELECT vec_id, {_sql_lsh_bucket(8, 64)} AS bucket FROM embeddings
@@ -1760,12 +1786,38 @@ def traffic_tile_invariants(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+# The flagship pipeline family registers FIRST in the driver-visible
+# ordering (VERDICT r3 ask #1): the driver's CORRECTNESS snapshot is
+# capped, and these are the engine's highest-value outputs.  With the six
+# yardsticks retired to YARDSTICKS the registry holds exactly 50 entries,
+# but the explicit priority keeps the flagships inside ANY cap.
+_FLAGSHIP_FIRST = [
+    "traffic_crossings",
+    "traffic_speed_samples",
+    "traffic_offmap_traces",
+    "traffic_histograms",
+    "traffic_triplines",
+    "traffic_viterbi_match",
+    "multimodal_phash_pairs",
+    "multimodal_resize",
+    "traffic_tile_invariants",
+]
+
+
+def _ordered_registry() -> dict[str, tuple]:
+    out = {n: REGISTRY[n] for n in _FLAGSHIP_FIRST if n in REGISTRY}
+    out.update((n, v) for n, v in REGISTRY.items() if n not in out)
+    return out
+
+
 def queries():
-    return {name: fn for name, (fn, _) in REGISTRY.items()}
+    return {name: fn for name, (fn, _) in _ordered_registry().items()}
 
 
 def oracle_sql():
-    out = {name: sql for name, (fn, sql) in REGISTRY.items() if sql is not None}
+    out = {
+        name: sql for name, (fn, sql) in _ordered_registry().items() if sql is not None
+    }
     # the pipeline/multimodal family runs on the deterministic synthetic
     # city, not the star schema — its oracle is the pure-Python reference
     # transliteration, materialized to parquet for DuckDB (SURVEY §5 layer
@@ -1787,3 +1839,57 @@ def oracle_sql():
         )
         traceback.print_exc(file=sys.stderr)
     return out
+
+
+def registry_manifest() -> list[dict]:
+    """Machine-checkable registry manifest (VERDICT r3 ask #8): one row per
+    driver-visible entry plus the pytest-only yardsticks, recording
+    position vs the driver's CORRECTNESS cap, oracle provenance, and
+    yardstick/scale-twin status."""
+    from .oracle.materialize import ENTRIES as _MATERIALIZED
+
+    rows = []
+    for pos, (name, (fn, sql)) in enumerate(_ordered_registry().items(), start=1):
+        if sql is not None:
+            kind = "inline_sql"
+        elif name in _MATERIALIZED:
+            kind = "materialized_parquet"
+        else:
+            kind = "rows_only"
+        rows.append(
+            {
+                "name": name,
+                "position": pos,
+                "driver_visible": True,
+                "oracle": kind,
+                "yardstick": False,
+                "scale_twin": None,
+            }
+        )
+    for name, (fn, sql) in YARDSTICKS.items():
+        rows.append(
+            {
+                "name": name,
+                "position": None,
+                "driver_visible": False,
+                "oracle": "inline_sql" if sql is not None else "rows_only",
+                "yardstick": True,
+                "scale_twin": YARDSTICK_TWINS.get(name),
+            }
+        )
+    return rows
+
+
+def write_manifest(path: str = None) -> str:
+    import json
+    import os
+
+    if path is None:
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "REGISTRY_MANIFEST.json",
+        )
+    with open(path, "w") as f:
+        json.dump(registry_manifest(), f, indent=1)
+        f.write("\n")
+    return path
