@@ -144,10 +144,11 @@ def minhash_lsh_pairs(
         buckets.select(F.explode(pair_combos).alias("p"))
         .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
         .distinct()
-        # candidates are tiny; materialise them so the signature chain runs
+        # candidates are tiny; materialise them (lazily — plan
+        # construction stays side-effect-free) so the signature chain runs
         # exactly once (it would otherwise re-run for the broadcast
         # cand_ids subquery AND the verify join)
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     # exact verify — shingle sets computed only for candidate docs
     cand_ids = cand.select(F.col("doc_a").alias("doc_id")).unionByName(
@@ -160,9 +161,10 @@ def minhash_lsh_pairs(
             "doc_id",
             F.array_distinct(shingles_from_tokens(F.col("toks"), shingle_k)).alias("sh"),
         )
-        # tiny (≤ 2·|cand| docs) — materialise once so the two broadcast
-        # verify sides don't each re-run the candidate tokenisation
-        .localCheckpoint()
+        # tiny (≤ 2·|cand| docs) — materialise once (lazily) so the two
+        # broadcast verify sides don't each re-run the candidate
+        # tokenisation
+        .localCheckpoint(eager=False)
     )
     verified = (
         # candidate shingle sets are tiny (≤ 2·|cand| docs) — broadcast both
@@ -442,7 +444,9 @@ def contamination_near_dup_pairs(
         .join(F.broadcast(bands_of(eval_docs, "eval_doc_id")), ["band", "bkey"])
         .select("eval_doc_id", "train_doc_id")
         .distinct()
-        .localCheckpoint()
+        # reuse-only materialisation — lazy, so building the operator
+        # stays free of cluster jobs
+        .localCheckpoint(eager=False)
     )
 
     def sets_of(docs, id_alias, ids):
@@ -611,8 +615,10 @@ def embedding_lsh_pairs(
     MinHash band keys are content-derived md5s, so its buckets stay
     bounded and the explode shape is safe there."""
     # the signature projection is expensive (n_bands × band_planes dots):
-    # checkpoint it so the self-join doesn't execute it twice
-    bands = lsh_band_keys(emb, id_col, vec_col, band_planes, n_bands, dims).localCheckpoint()
+    # checkpoint it (lazily) so the self-join doesn't execute it twice
+    bands = lsh_band_keys(emb, id_col, vec_col, band_planes, n_bands, dims).localCheckpoint(
+        eager=False
+    )
     cand = (
         bands.alias("a")
         .join(bands.alias("b"), ["band", "bval"])

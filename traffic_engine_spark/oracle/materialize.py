@@ -14,8 +14,10 @@ DuckDB comparison covers the full pipeline instead of a rows-only check.
 
 Everything here is single-threaded numpy/pandas — no Spark — computed from
 the same datagen seeds the registered queries use.  Idempotent: a marker
-file keyed on ``_VERSION`` skips recomputation; bump ``_VERSION`` whenever
-any projection or oracle rule changes.
+file keyed on a CONTENT HASH of every dependency (datagen/, pyoracle.py,
+the shared numeric kernels, and this module) plus ``_VERSION`` skips
+recomputation — any edit to those sources invalidates the cache
+automatically, no manual bump required.
 """
 
 from __future__ import annotations
@@ -30,6 +32,28 @@ import pandas as pd
 _VERSION = 3
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 ORACLE_DIR = os.path.join(_REPO_ROOT, ".oracle_cache", f"v{_VERSION}")
+_PKG_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _source_digest() -> str:
+    """Content hash of every source the expected outputs depend on, so the
+    cache invalidates itself on ANY edit to datagen, the oracle, or the
+    projections here — a forgotten manual ``_VERSION`` bump must not
+    silently replay stale expected parquet."""
+    h = hashlib.sha256(str(_VERSION).encode())
+    deps = [os.path.join(_PKG_ROOT, "oracle", "pyoracle.py"),
+            os.path.join(_PKG_ROOT, "oracle", "materialize.py"),
+            os.path.join(_PKG_ROOT, "functions", "binning.py"),
+            os.path.join(_PKG_ROOT, "functions", "viterbi.py"),
+            os.path.join(_PKG_ROOT, "functions", "cells.py")]
+    dg = os.path.join(_PKG_ROOT, "datagen")
+    deps += sorted(
+        os.path.join(dg, f) for f in os.listdir(dg) if f.endswith(".py")
+    )
+    for p in deps:
+        with open(p, "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()
 
 ENTRIES = [
     "traffic_crossings",
@@ -43,7 +67,22 @@ ENTRIES = [
     "traffic_tile_invariants",
 ]
 
-_CAPTION_RE = re.compile(r"trace=(-?\d+);ts=(-?\d+);lat=(-?[0-9.]+);lon=(-?[0-9.]+)")
+_CAPTION_RE = re.compile(r"trace=(-?\d+);ts=(-?\d+);lat=([^;]+);lon=([^;]+)")
+
+
+def _parse_caption(c: str) -> tuple:
+    """Parse a canonical caption; fail LOUDLY on anything unparseable so a
+    datagen drift aborts materialization with the offending caption instead
+    of an opaque AttributeError (and the broad except in oracle_sql()
+    silently degrading every pipeline entry to rows-only checks).  The
+    lat/lon groups accept the same token set the engine's
+    ``try_cast('double')`` does (scientific notation, Infinity, NaN);
+    non-finite values are then dropped by the oracle's isfinite filters,
+    matching plans/hmm + pyoracle."""
+    m = _CAPTION_RE.search(c)
+    if m is None:
+        raise ValueError(f"oracle materializer: unparseable caption {c!r}")
+    return m.groups()
 
 
 def _compute() -> dict[str, pd.DataFrame]:
@@ -168,7 +207,7 @@ def _compute() -> dict[str, pd.DataFrame]:
     # invariants below, same coercion as functions/binning)
     from ..functions.binning import coerce_ms_np
 
-    caps = images_pd["caption"].map(lambda c: _CAPTION_RE.search(c).groups())
+    caps = images_pd["caption"].map(_parse_caption)
     fixes_pd_v = pd.DataFrame({
         "trace_id": [int(g[0]) for g in caps],
         "ts": coerce_ms_np(np.array([int(g[1]) for g in caps], dtype=np.int64)),
@@ -223,11 +262,16 @@ def ensure_pipeline_oracles() -> dict[str, str]:
     marker is absent (first run / after a _VERSION bump)."""
     marker = os.path.join(ORACLE_DIR, "_DONE")
     paths = {n: os.path.join(ORACLE_DIR, f"{n}.parquet") for n in ENTRIES}
-    if not (os.path.exists(marker) and all(os.path.exists(p) for p in paths.values())):
+    digest = _source_digest()
+    fresh = False
+    if os.path.exists(marker) and all(os.path.exists(p) for p in paths.values()):
+        with open(marker) as f:
+            fresh = f.read().strip() == digest
+    if not fresh:
         os.makedirs(ORACLE_DIR, exist_ok=True)
         expected = _compute()
         for n in ENTRIES:
             expected[n].to_parquet(paths[n], index=False)
         with open(marker, "w") as f:
-            f.write(str(_VERSION))
+            f.write(digest)
     return {n: f"SELECT * FROM read_parquet('{paths[n]}')" for n in ENTRIES}

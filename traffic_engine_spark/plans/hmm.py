@@ -70,10 +70,15 @@ def viterbi_match(
     parallelism (test_viterbi_partitioning_invariant).
     """
     cover = _segment_cover(segments)
-    # NaN coordinates (decode_fixes keeps try_cast'd NaN) are garbage for
-    # matching AND poison fix identity (NaN != NaN splits runs while the
-    # oracle's drop_duplicates merges them) — drop them on both sides
-    fixes = fixes.filter(~F.isnan("lat") & ~F.isnan("lon"))
+    # non-finite coordinates (decode_fixes' try_cast admits 'NaN' and
+    # 'Infinity' captions) are garbage for matching AND poison fix
+    # identity (NaN != NaN splits runs while the oracle's drop_duplicates
+    # merges them) — drop them to mirror the oracle's np.isfinite filter
+    fixes = fixes.filter(
+        ~F.isnan("lat") & ~F.isnan("lon")
+        & (F.abs(F.col("lat")) != float("inf"))
+        & (F.abs(F.col("lon")) != float("inf"))
+    )
     fx = fixes.select(
         "trace_id", "ts", "lat", "lon",
         pack_xy(

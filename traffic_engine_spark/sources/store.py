@@ -37,6 +37,10 @@ class SnapshotStore:
         self.key_cols = list(key_cols)
         os.makedirs(path, exist_ok=True)
         self.meta_path = os.path.join(path, "metadata.json")
+        # op_id replay index: loaded from the snapshot log once, then kept
+        # in sync by _commit — single-writer assumption, same as the
+        # metadata pointer swap itself
+        self._op_ids: set[str] | None = None
 
     # -- metadata -------------------------------------------------------------
 
@@ -50,7 +54,16 @@ class SnapshotStore:
         snaps = self.snapshots()
         return snaps[-1]["snapshot_id"] if snaps else None
 
+    def _op_id_seen(self, op_id: str) -> bool:
+        if self._op_ids is None:
+            self._op_ids = {
+                s["op_id"] for s in self.snapshots() if "op_id" in s
+            }
+        return op_id in self._op_ids
+
     def _commit(self, entry: dict):
+        if "op_id" in entry and self._op_ids is not None:
+            self._op_ids.add(entry["op_id"])
         snaps = self.snapshots()
         snaps.append(entry)
         tmp = self.meta_path + ".tmp"
@@ -142,7 +155,15 @@ class SnapshotStore:
         — the increments are NOT double-applied — and the recorded entry
         is returned.  Iceberg twin: write the batch id as a snapshot
         summary property and check it before the MERGE."""
-        if op_id is not None:
+        expected = set(self.key_cols) | set(sum_cols)
+        if set(df.columns) != expected:
+            # the groupBy/agg below would silently project away any other
+            # column — refuse instead of dropping data
+            raise ValueError(
+                f"merge_sum input columns {sorted(df.columns)} must be "
+                f"exactly key_cols + sum_cols = {sorted(expected)}"
+            )
+        if op_id is not None and self._op_id_seen(op_id):
             for snap in self.snapshots():
                 if snap.get("op_id") == op_id:
                     return {**snap, "operation": "merge-sum-replay-skip"}
