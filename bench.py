@@ -83,6 +83,16 @@ def main():
     t0 = time.time()
     ways, nodes = bench_network(spark)
     segs, tls, jumpers = N.build_network_tables(spark, ways, nodes)
+    # materialize the network dim ONCE, inside this timed section — the
+    # reference builds its network store once (OSMDataStore) and every
+    # query consumes the stored tables; leaving these lazy made every
+    # downstream entry silently re-execute the network lineage (~1 s each
+    # at bench scale)
+    import pandas as _pd
+
+    segs, tls = segs.localCheckpoint(), tls.localCheckpoint()
+    if not isinstance(jumpers, _pd.DataFrame):
+        jumpers = jumpers.localCheckpoint()
     n_tl = tls.count()
     timings["network_build"] = round(time.time() - t0, 3)
     log(f"network: {n_tl} triplines in {timings['network_build']}s")

@@ -1059,6 +1059,30 @@ def test_jumpers_sharded_matches_global(spark, spark_network):
     pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()), check_exact=True)
 
 
+def test_jumper_fold_autoshards_and_pipeline_identical(spark, city, images_pd):
+    """cfg.jumper_fold_max_rows routes build_network_tables to the sharded
+    Spark fold (no driver toPandas); the full pipeline must be output-
+    identical whether the jumper dim arrives as pandas or as the sharded
+    DataFrame."""
+    from traffic_engine_spark.config import EngineConfig
+    from traffic_engine_spark.plans import match as M
+
+    nodes, ways, _ = city
+    ways_df = spark.createDataFrame(ways)
+    nodes_df = spark.createDataFrame(nodes)
+    segs_a, tls_a, jm_a = N.build_network_tables(spark, ways_df, nodes_df)
+    assert isinstance(jm_a, pd.DataFrame)  # city scale: driver fold
+    cfg = EngineConfig(jumper_fold_max_rows=0)
+    segs_b, tls_b, jm_b = N.build_network_tables(spark, ways_df, nodes_df, cfg=cfg)
+    assert not isinstance(jm_b, pd.DataFrame)  # forced sharded Spark fold
+    images = spark.createDataFrame(images_pd)
+    _, samples_a = M.run_pipeline(spark, images, tls_a, segs_a, jm_a)
+    _, samples_b = M.run_pipeline(spark, images, tls_b, segs_b, jm_b)
+    a = samples_a.toPandas().sort_values(list(samples_a.columns)).reset_index(drop=True)
+    b = samples_b.toPandas().sort_values(list(samples_a.columns)).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b[a.columns], check_exact=True)
+
+
 def test_snapshot_store_merge_and_time_travel(spark, tmp_path, spark_network):
     """Iceberg-shaped store: MERGE-insert-if-absent on the logical key
     (StreetDataStore.java:35-44 — existing row wins), numbered snapshots,

@@ -22,11 +22,11 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.cells import explode_bbox_cover, pack_xy, tile_x_col, tile_y_col
-from ..functions.viterbi import Z_HMM, point_segment_dist_m_np, viterbi_decode_np
+from ..functions.viterbi import M_PER_DEG, Z_HMM, point_segment_dist_m_np, viterbi_decode_np
 
 MATCH_SCHEMA = (
     "trace_id long, seq long, ts long, segment_id long, dist_m double"
@@ -52,23 +52,10 @@ def _segment_cover(segments: DataFrame) -> DataFrame:
     )
 
 
-def viterbi_match(
-    fixes: DataFrame,
-    segments: DataFrame,
-    k: int = 4,
-    sigma_m: float = 25.0,
-    trans_adj: float = 1.0,
-    trans_jump: float = 10.0,
-) -> DataFrame:
-    """(trace_id, seq, ts, segment_id, dist_m): the Viterbi-decoded
-    segment per GPS fix (segment_id -1 where no segment covers the fix's
-    cell ring).  seq orders fixes by (ts, lon, lat) within the trace.
-
-    Deterministic: candidate order is ascending segment_id, argmin takes
-    the first minimum, and all float math is float64 numpy shared with
-    the test oracle — output is independent of partitioning and
-    parallelism (test_viterbi_partitioning_invariant).
-    """
+def _pruned_candidates(fixes: DataFrame, segments: DataFrame, k: int) -> DataFrame:
+    """The JVM half of the matcher: ring-join candidate pairing + the
+    conservative per-fix top-k prune, everything codegen — the exact rows
+    that cross the Arrow boundary into the kernel."""
     cover = _segment_cover(segments)
     # non-finite coordinates (decode_fixes' try_cast admits 'NaN' and
     # 'Infinity' captions) are garbage for matching AND poison fix
@@ -105,63 +92,161 @@ def viterbi_match(
         .withColumn("by", F.coalesce(F.col("by"), F.lit(0.0)))
     )
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        trace_id = int(pdf["trace_id"].iloc[0])
-        # fix identity = (ts, lat, lon); seq = rank in that order.
-        # EVERYTHING below is vectorised pandas/numpy — a dict-comprehension
-        # formulation was measured 100× slower at bench scale (per-row
-        # Python over the candidate rows)
-        pdf = pdf.sort_values(["ts", "lat", "lon"], kind="mergesort")
-        # exact run-length fix ids over the sorted keys (no hashing — a
-        # hash collision would silently merge two fixes)
-        k1 = pdf["ts"].to_numpy()
-        k2 = pdf["lat"].to_numpy()
-        k3 = pdf["lon"].to_numpy()
-        new = np.ones(len(pdf), dtype=bool)
-        new[1:] = (k1[1:] != k1[:-1]) | (k2[1:] != k2[:-1]) | (k3[1:] != k3[:-1])
-        pdf = pdf.assign(_fi=np.cumsum(new) - 1)
-        fix_keys = pdf.drop_duplicates("_fi")[["ts", "lat", "lon"]].reset_index(drop=True)
-        n_fix = len(fix_keys)
-        has = pdf[pdf["segment_id"] >= 0]
-        if len(has):
-            # one candidate per (fix, segment) even when several covered
-            # ring tiles matched; ascending segment_id within a fix is the
-            # tie-break order the decode relies on
-            has = (
-                has.drop_duplicates(["_fi", "segment_id"])
-                .sort_values(["_fi", "segment_id"], kind="mergesort")
+    # JVM-side top-k prune BEFORE the Arrow boundary: at ~19 ring
+    # candidates/fix the payload transfer dominates the operator, but the
+    # decode only ever uses the k nearest.  A codegen replica of
+    # point_segment_dist_m_np ranks candidates per fix and keeps a
+    # CONSERVATIVE superset — everything within eps of the k-th JVM
+    # distance — so JVM-vs-numpy libm ulp drift (≤ ~1e-11 m here; eps is
+    # 1e-6 m) can never cut a true top-k candidate.  The kernel still
+    # recomputes the SHARED numpy distance on the survivors and does the
+    # exact (dist, segment_id) selection, so the output stays bit-identical
+    # to the oracle (and to the unpruned plan).
+    kx = F.cos(F.radians(F.col("lat"))) * F.lit(M_PER_DEG)
+    px, py = F.col("lon") * kx, F.col("lat") * F.lit(M_PER_DEG)
+    axm, aym = F.col("ax") * kx, F.col("ay") * F.lit(M_PER_DEG)
+    bxm, bym = F.col("bx") * kx, F.col("by") * F.lit(M_PER_DEG)
+    dxx, dyy = bxm - axm, bym - aym
+    den = dxx * dxx + dyy * dyy
+    t_raw = F.when(den > 0.0, ((px - axm) * dxx + (py - aym) * dyy) / den).otherwise(
+        F.lit(0.0)
+    )
+    t = F.least(F.greatest(t_raw, F.lit(0.0)), F.lit(1.0))
+    djvm = F.hypot(px - (axm + t * dxx), py - (aym + t * dyy))
+    wfix = Window.partitionBy("trace_id", "ts", "lat", "lon")
+    cand = (
+        # ONE exchange for the whole operator: hash partitioning on
+        # trace_id satisfies both the per-fix window's clustering (its
+        # keys are a superset) and the applyInPandas group distribution,
+        # so the prune costs a local sort, not a second shuffle
+        cand.repartition("trace_id")
+        .withColumn("_djvm", djvm)
+        .withColumn(
+            "_rk",
+            F.row_number().over(wfix.orderBy(F.col("_djvm"), F.col("segment_id"))),
+        )
+        .withColumn(
+            "_kd", F.max(F.when(F.col("_rk") <= k, F.col("_djvm"))).over(wfix)
+        )
+        .filter(
+            (F.col("segment_id") == -1) | (F.col("_djvm") <= F.col("_kd") + F.lit(1e-6))
+        )
+        .drop("_djvm", "_rk", "_kd")
+    )
+    return cand
+
+
+def viterbi_match(
+    fixes: DataFrame,
+    segments: DataFrame,
+    k: int = 4,
+    sigma_m: float = 25.0,
+    trans_adj: float = 1.0,
+    trans_jump: float = 10.0,
+) -> DataFrame:
+    """(trace_id, seq, ts, segment_id, dist_m): the Viterbi-decoded
+    segment per GPS fix (segment_id -1 where no segment covers the fix's
+    cell ring).  seq orders fixes by (ts, lon, lat) within the trace.
+
+    Deterministic: candidate order is ascending segment_id, argmin takes
+    the first minimum, and all float math is float64 numpy shared with
+    the test oracle — output is independent of partitioning and
+    parallelism (test_viterbi_partitioning_invariant).
+    """
+    cand = _pruned_candidates(fixes, segments, k)
+
+    # mapInPandas over the trace-hash-partitioned candidates, NOT a
+    # per-trace applyInPandas: one vectorised pass handles every trace in
+    # the partition (run-length fix ids, one shared-numpy distance call,
+    # one lexsort top-k), so the per-group pandas overhead — measured as
+    # the dominant term at 8k traces (17 ms/group ≈ 4.4 s wall) — is paid
+    # 32×, not 8000×.  Only the DP itself runs per trace, through the
+    # SHARED viterbi_decode_np so engine and oracle stay bit-identical.
+    # Correctness needs all rows of a trace in one partition — guaranteed
+    # by the repartition("trace_id") inside _pruned_candidates; Arrow may
+    # still split a partition across batches, hence the concat.
+    def part_kernel(batches):
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        if pdf.empty:
+            return
+        # ONE stable sort: (trace, fix key, segment) — everything below is
+        # run-length logic over this order.  Fix identity = (ts, lat,
+        # lon) exactly (no hashing — a collision would merge two fixes).
+        pdf = pdf.sort_values(
+            ["trace_id", "ts", "lat", "lon", "segment_id"], kind="mergesort"
+        )
+        tid = pdf["trace_id"].to_numpy(np.int64)
+        ts = pdf["ts"].to_numpy(np.int64)
+        la = pdf["lat"].to_numpy(np.float64)
+        lo = pdf["lon"].to_numpy(np.float64)
+        sg = pdf["segment_id"].to_numpy(np.int64)
+        n = len(pdf)
+        new_trace = np.ones(n, dtype=bool)
+        new_trace[1:] = tid[1:] != tid[:-1]
+        new_fix = new_trace.copy()
+        new_fix[1:] |= (ts[1:] != ts[:-1]) | (la[1:] != la[:-1]) | (lo[1:] != lo[:-1])
+        fi = np.cumsum(new_fix) - 1  # partition-global fix index
+        n_fix = int(fi[-1]) + 1
+        fix_pos = np.flatnonzero(new_fix)
+        fix_tid, fix_ts = tid[fix_pos], ts[fix_pos]
+        new_trace_fix = new_trace[fix_pos]
+        trace_first_fix = np.maximum.accumulate(
+            np.where(new_trace_fix, np.arange(n_fix), 0)
+        )
+        seq = np.arange(n_fix) - trace_first_fix
+        # candidates: drop -1 sentinel rows and (fix, segment) duplicates
+        # (adjacent in this sort; duplicate rows are value-identical, so
+        # keeping the first matches the old drop_duplicates)
+        dup = np.zeros(n, dtype=bool)
+        dup[1:] = ~new_fix[1:] & (sg[1:] == sg[:-1])
+        keep = (sg >= 0) & ~dup
+        out_seg = np.full(n_fix, -1, dtype=np.int64)
+        out_d = np.full(n_fix, -1.0, dtype=np.float64)
+        if keep.any():
+            cfi, cseg = fi[keep], sg[keep]
+            cs = pdf["start_node_id"].to_numpy(np.int64)[keep]
+            ce = pdf["end_node_id"].to_numpy(np.int64)[keep]
+            d = point_segment_dist_m_np(
+                lo[keep], la[keep],
+                pdf["ax"].to_numpy(np.float64)[keep],
+                pdf["ay"].to_numpy(np.float64)[keep],
+                pdf["bx"].to_numpy(np.float64)[keep],
+                pdf["by"].to_numpy(np.float64)[keep],
             )
-            dist = point_segment_dist_m_np(
-                has["lon"].to_numpy(np.float64), has["lat"].to_numpy(np.float64),
-                has["ax"].to_numpy(np.float64), has["ay"].to_numpy(np.float64),
-                has["bx"].to_numpy(np.float64), has["by"].to_numpy(np.float64),
-            )
-            has["_d"] = dist
-            # top-k emission candidates per fix by (dist, segment_id)
-            has["_rk"] = (
-                has.sort_values(["_fi", "_d", "segment_id"], kind="mergesort")
-                .groupby("_fi").cumcount()
-            )
-            has = has[has["_rk"] < k].sort_values(
-                ["_fi", "segment_id"], kind="mergesort"
-            )
-            seg, d = viterbi_decode_np(
-                has["_fi"].to_numpy(np.int64),
-                has["segment_id"].to_numpy(np.int64),
-                has["start_node_id"].to_numpy(np.int64),
-                has["end_node_id"].to_numpy(np.int64),
-                has["_d"].to_numpy(np.float64),
-                n_fix, sigma_m, trans_adj, trans_jump,
-            )
-        else:
-            seg = np.full(n_fix, -1, dtype=np.int64)
-            d = np.full(n_fix, -1.0, dtype=np.float64)
-        return pd.DataFrame({
-            "trace_id": np.full(n_fix, trace_id, dtype=np.int64),
-            "seq": np.arange(n_fix, dtype=np.int64),
-            "ts": fix_keys["ts"].to_numpy(np.int64),
-            "segment_id": seg,
-            "dist_m": np.round(d, 6),
+            # exact top-k per fix by (dist, segment_id): one lexsort, rank
+            # = position within the fix's run
+            m = len(cfi)
+            ord_ = np.lexsort((cseg, d, cfi))
+            cfi_s = cfi[ord_]
+            run = np.ones(m, dtype=bool)
+            run[1:] = cfi_s[1:] != cfi_s[:-1]
+            rk = np.arange(m) - np.maximum.accumulate(np.where(run, np.arange(m), 0))
+            sel = ord_[rk < k]
+            # DP input order: fix-major, ascending segment_id within fix
+            sel = sel[np.lexsort((cseg[sel], cfi[sel]))]
+            cfi2, cseg2 = cfi[sel], cseg[sel]
+            cs2, ce2, d2 = cs[sel], ce[sel], d[sel]
+            tf_starts = np.flatnonzero(new_trace_fix)
+            tf_ends = np.append(tf_starts[1:], n_fix)
+            for a, b in zip(tf_starts, tf_ends):
+                clo = np.searchsorted(cfi2, a, side="left")
+                chi = np.searchsorted(cfi2, b, side="left")
+                if chi == clo:
+                    continue  # trace fully uncovered: stays -1
+                s_, dd = viterbi_decode_np(
+                    cfi2[clo:chi] - a, cseg2[clo:chi], cs2[clo:chi], ce2[clo:chi],
+                    d2[clo:chi], int(b - a), sigma_m, trans_adj, trans_jump,
+                )
+                out_seg[a:b], out_d[a:b] = s_, dd
+        yield pd.DataFrame({
+            "trace_id": fix_tid,
+            "seq": seq.astype(np.int64),
+            "ts": fix_ts,
+            "segment_id": out_seg,
+            "dist_m": np.round(out_d, 6),
         })
 
-    return cand.groupBy("trace_id").applyInPandas(kernel, schema=MATCH_SCHEMA)
+    return cand.mapInPandas(part_kernel, schema=MATCH_SCHEMA)

@@ -269,6 +269,29 @@ SAMPLE_SCHEMA = T.StructType(
 )
 
 
+def _jumpers_sdf(spark: SparkSession, jumpers) -> DataFrame:
+    """The jumper dim as a Spark DataFrame — `build_network_tables` hands
+    back pandas below `cfg.jumper_fold_max_rows` and the sharded Spark
+    fold's DataFrame above it; every declarative consumer goes through
+    here so both shapes work."""
+    if isinstance(jumpers, DataFrame):
+        return jumpers
+    return spark.createDataFrame(
+        jumpers[["start_node_id", "end_node_id", "length_m", "segment_ids"]],
+        schema="start_node_id long, end_node_id long, length_m double, "
+        "segment_ids array<long>",
+    )
+
+
+def _jumpers_pd(jumpers) -> pd.DataFrame:
+    """pandas view of the jumper dim — ONLY for the broadcast-dict path
+    (planet_scale=False), which is city-scale by contract; the collect here
+    is bounded by the same contract that allows the segment collect."""
+    if isinstance(jumpers, pd.DataFrame):
+        return jumpers
+    return jumpers.toPandas()
+
+
 def speed_samples(
     spark: SparkSession,
     crossings: DataFrame,
@@ -307,7 +330,7 @@ def speed_samples(
             )
     jm = {
         (int(r.start_node_id), int(r.end_node_id)): (float(r.length_m), [int(x) for x in r.segment_ids])
-        for r in jumpers_pd.itertuples()
+        for r in _jumpers_pd(jumpers_pd).itertuples()
     }
     bc_seg = spark.sparkContext.broadcast(seg_nodes)
     bc_tl = spark.sparkContext.broadcast(tl_attrs)
@@ -568,10 +591,7 @@ def _jumper_samples_declarative(
         F.col("segment_id").alias("prev_seg"), F.col("end_node_id").alias("a_end")
     )
     seg_b = segments.select("segment_id", F.col("start_node_id").alias("b_start"))
-    jump_dim = spark.createDataFrame(
-        jumpers_pd[["start_node_id", "end_node_id", "length_m", "segment_ids"]],
-        schema="start_node_id long, end_node_id long, length_m double, segment_ids array<long>",
-    ).select(
+    jump_dim = _jumpers_sdf(spark, jumpers_pd).select(
         F.col("start_node_id").alias("a_end"), F.col("end_node_id").alias("b_start"),
         "length_m", "segment_ids",
     )
@@ -674,10 +694,9 @@ def offmap_traces(
         F.col("segment_id").alias("start_id"), F.col("end_node_id").alias("a_end")
     )
     seg_b = segments.select("segment_id", F.col("start_node_id").alias("b_start"))
-    jump_dim = spark.createDataFrame(
-        jumpers_pd[["start_node_id", "end_node_id"]],
-        schema="start_node_id long, end_node_id long",
-    ).select(F.col("start_node_id").alias("a_end"), F.col("end_node_id").alias("b_start"))
+    jump_dim = _jumpers_sdf(spark, jumpers_pd).select(
+        F.col("start_node_id").alias("a_end"), F.col("end_node_id").alias("b_start")
+    )
     gaps = (
         trans.join(seg_a, "start_id")
         .join(seg_b, "segment_id")

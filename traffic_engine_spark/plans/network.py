@@ -326,8 +326,18 @@ def build_network_tables(
     spark: SparkSession, ways: DataFrame, nodes: DataFrame,
     cfg: EngineConfig = DEFAULT_CONFIG,
 ):
-    """Full network build → (segments_df, triplines_df, jumpers_pd)."""
+    """Full network build → (segments_df, triplines_df, jumpers).
+
+    ``jumpers`` is a pandas DataFrame from the driver fold while the
+    short-segment count is at most ``cfg.jumper_fold_max_rows``, and the
+    output-identical sharded Spark fold (``build_jumpers_sharded``) above
+    it — the pipeline accepts either (plans/match._jumpers_sdf), so at
+    planet scale nothing O(network) ever reaches the driver."""
     segments = build_segments(spark, ways, nodes, cfg=cfg).cache()
     triplines = build_triplines(segments, cfg=cfg).cache()
-    jumpers = build_jumpers(segments)
+    n_short = segments.filter(F.col("length_m") <= MIN_SEGMENT_LEN).count()
+    if n_short > cfg.jumper_fold_max_rows:
+        jumpers = build_jumpers_sharded(spark, segments)
+    else:
+        jumpers = build_jumpers(segments)
     return segments, triplines, jumpers
