@@ -98,24 +98,65 @@ def _batch_samples(spark, spark_network, images_pd):
     )
 
 
+def _poll_stream(spark, q, qname=None, expected_rows=None, table_path=None):
+    """Poll an availableNow streaming query until it has drained its input,
+    then stop it.  A stateful query with ProcessingTimeTimeout NEVER
+    self-terminates — it keeps scheduling ~empty timeout-check batches —
+    so waiting on isActive alone burns the whole deadline; break on the
+    expected row count when known, else on two consecutive zero-input
+    batches."""
+    import time as _time
+
+    def _in_rows(p):
+        try:
+            return p["numInputRows"]
+        except TypeError:
+            return p.numInputRows
+
+    deadline = _time.time() + 300
+    while _time.time() < deadline:
+        if not q.isActive:
+            break
+        if expected_rows is not None:
+            try:
+                if qname is not None:
+                    n = spark.sql(f"select count(*) c from {qname}").first().c
+                else:
+                    n = spark.read.parquet(table_path).count()
+            except Exception:
+                n = -1
+            if n >= expected_rows and not q.status["isDataAvailable"]:
+                break
+        else:
+            prog = q.recentProgress
+            if len(prog) >= 2 and all(_in_rows(p) == 0 for p in prog[-2:]):
+                break
+        _time.sleep(0.5)
+    q.stop()
+
+
 def _run_stream(spark, spark_network, images_pd, qname, n_slices=1, expected_rows=None):
-    """Run the streaming kernel over the fixes, optionally split into
-    n_slices time-ordered parquet files consumed one per microbatch
-    (maxFilesPerTrigger=1) so per-trace state — pending crossings included —
-    must round-trip through the GroupState schema between batches."""
+    """Run the PLANET streaming pipeline over the fixes — the documented
+    two-query medallion (pairing kernel → declarative J1/J2 → silver
+    crossing parquet; crossing kernel → declarative J4 → samples) —
+    optionally splitting the input into n_slices time-ordered parquet
+    files consumed one per microbatch (maxFilesPerTrigger=1) so per-trace
+    state — pending crossings included — must round-trip through the
+    GroupState schemas between batches."""
     import tempfile
 
     from traffic_engine_spark.streaming.match_stream import (
-        network_to_dicts,
-        stream_speed_samples,
+        CROSSING_SCHEMA,
+        jumper_samples_stream,
+        stream_crossings,
     )
 
     segs, tls, jumpers_pd = spark_network
-    dicts = network_to_dicts(segs.toPandas(), tls.toPandas(), jumpers_pd)
     fixes_pd = M.decode_fixes(spark.createDataFrame(images_pd)).toPandas()
 
     with tempfile.TemporaryDirectory(ignore_cleanup_errors=True) as d:
         src = os.path.join(d, "src")
+        silver = os.path.join(d, "silver")
         os.makedirs(src)
         if n_slices == 1:
             spark.createDataFrame(fixes_pd).write.mode("overwrite").parquet(src)
@@ -136,27 +177,29 @@ def _run_stream(spark, spark_network, images_pd, qname, n_slices=1, expected_row
         if n_slices > 1:
             # one time-slice file per microbatch ⇒ state must round-trip
             reader = reader.option("maxFilesPerTrigger", 1)
-        fixes_stream = reader.parquet(src)
-        out = stream_speed_samples(fixes_stream, dicts)
-        q = (
+        # query 1: fixes → pairing kernel → declarative crossings → silver.
+        # coalesce(1) is test-harness-only: one silver file per microbatch
+        # so query 2's maxFilesPerTrigger=1 replays exactly the microbatch
+        # boundaries (and the suite doesn't grind through 8 tiny files per
+        # batch)
+        q1 = (
+            stream_crossings(reader.parquet(src), tls).coalesce(1)
+            .writeStream.format("parquet").option("path", silver)
+            .option("checkpointLocation", os.path.join(d, "ck1"))
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        _poll_stream(spark, q1)
+        # query 2: silver crossings → crossing kernel → declarative J4
+        cr_reader = spark.readStream.schema(CROSSING_SCHEMA)
+        if n_slices > 1:
+            cr_reader = cr_reader.option("maxFilesPerTrigger", 1)
+        out = jumper_samples_stream(spark, cr_reader.parquet(silver), segs, jumpers_pd)
+        q2 = (
             out.writeStream.format("memory").queryName(qname)
-            .outputMode("append").option("checkpointLocation", os.path.join(d, "ck"))
+            .outputMode("append").option("checkpointLocation", os.path.join(d, "ck2"))
             .trigger(availableNow=True).start()
         )
-        # poll the sink instead of a fixed awaitTermination: the
-        # availableNow + applyInPandasWithState query can linger after the
-        # last batch commits, and a blind long wait dominates suite time
-        import time as _time
-
-        deadline = _time.time() + 300
-        while _time.time() < deadline:
-            if not q.isActive:
-                break
-            n = spark.sql(f"select count(*) c from {qname}").first().c
-            if expected_rows is not None and n >= expected_rows and not q.status["isDataAvailable"]:
-                break
-            _time.sleep(2)
-        q.stop()
+        _poll_stream(spark, q2, qname=qname, expected_rows=expected_rows)
         return spark.sql(f"select * from {qname}").toPandas()
 
 
@@ -238,9 +281,10 @@ def test_streaming_gate_then_kernel_composition(spark, spark_network, images_pd,
     with the gate enabled."""
     from traffic_engine_spark.config import EngineConfig
     from traffic_engine_spark.streaming.match_stream import (
+        CROSSING_SCHEMA,
         gate_fixes_stream,
-        network_to_dicts,
-        stream_speed_samples,
+        jumper_samples_stream,
+        stream_crossings,
     )
 
     segs, tls, jumpers_pd = spark_network
@@ -273,32 +317,29 @@ def test_streaming_gate_then_kernel_composition(spark, spark_network, images_pd,
         .option("checkpointLocation", str(tmp_path / "ck1"))
         .outputMode("append").trigger(availableNow=True).start()
     )
-    deadline = _time.time() + 300
-    while _time.time() < deadline and q1.isActive:
-        try:
-            done = spark.read.parquet(silver).count() >= n_gated
-        except Exception:
-            done = False
-        if done and not q1.status["isDataAvailable"]:
-            break
-        _time.sleep(2)
-    q1.stop()
+    _poll_stream(spark, q1, expected_rows=n_gated, table_path=silver)
     assert spark.read.parquet(silver).count() == n_gated
 
-    dicts = network_to_dicts(segs.toPandas(), tls.toPandas(), jumpers_pd)
+    # gated silver fixes → the planet two-query kernel pipeline
+    silver2 = str(tmp_path / "silver2")
     q2 = (
-        stream_speed_samples(spark.readStream.schema(schema).parquet(silver), dicts)
-        .writeStream.format("memory").queryName("gate_kernel_samples")
+        stream_crossings(spark.readStream.schema(schema).parquet(silver), tls)
+        .coalesce(1)
+        .writeStream.format("parquet").option("path", silver2)
         .option("checkpointLocation", str(tmp_path / "ck2"))
         .outputMode("append").trigger(availableNow=True).start()
     )
-    deadline = _time.time() + 300
-    while _time.time() < deadline and q2.isActive:
-        n = spark.sql("select count(*) c from gate_kernel_samples").first().c
-        if n >= len(want) and not q2.status["isDataAvailable"]:
-            break
-        _time.sleep(2)
-    q2.stop()
+    _poll_stream(spark, q2)
+    q3 = (
+        jumper_samples_stream(
+            spark, spark.readStream.schema(CROSSING_SCHEMA).parquet(silver2),
+            segs, jumpers_pd,
+        )
+        .writeStream.format("memory").queryName("gate_kernel_samples")
+        .option("checkpointLocation", str(tmp_path / "ck3"))
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    _poll_stream(spark, q3, qname="gate_kernel_samples", expected_rows=len(want))
     got = spark.sql("select * from gate_kernel_samples").toPandas()
     assert len(want) > 0
     _assert_samples_equal(want, got)
@@ -398,13 +439,13 @@ def test_streaming_histograms_merge_store(spark, spark_network, images_pd, tmp_p
 
     from traffic_engine_spark.sources.store import SnapshotStore
     from traffic_engine_spark.streaming.match_stream import (
+        CROSSING_SCHEMA,
         histograms_to_store_sink,
-        network_to_dicts,
-        stream_speed_samples,
+        jumper_samples_stream,
+        stream_crossings,
     )
 
     segs, tls, jumpers_pd = spark_network
-    dicts = network_to_dicts(segs.toPandas(), tls.toPandas(), jumpers_pd)
     fixes_pd = M.decode_fixes(spark.createDataFrame(images_pd)).toPandas()
     batch = _batch_samples(spark, spark_network, images_pd)
     want = S.histograms(spark.createDataFrame(batch)).toPandas()
@@ -428,8 +469,20 @@ def test_streaming_histograms_merge_store(spark, spark_network, images_pd, tmp_p
                 "image_id string, trace_id long, ts long, lat double, lon double"
             ).option("maxFilesPerTrigger", 1).parquet(src)
         )
+        silver = os.path.join(d, "silver")
+        q1 = (
+            stream_crossings(fixes_stream, tls).coalesce(1)
+            .writeStream.format("parquet").option("path", silver)
+            .option("checkpointLocation", os.path.join(d, "ck1"))
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        _poll_stream(spark, q1)
+        crossings_stream = (
+            spark.readStream.schema(CROSSING_SCHEMA)
+            .option("maxFilesPerTrigger", 1).parquet(silver)
+        )
         q = (
-            stream_speed_samples(fixes_stream, dicts)
+            jumper_samples_stream(spark, crossings_stream, segs, jumpers_pd)
             .writeStream.foreachBatch(histograms_to_store_sink(store))
             .outputMode("append")
             .option("checkpointLocation", os.path.join(d, "ck"))
@@ -449,7 +502,7 @@ def test_streaming_histograms_merge_store(spark, spark_network, images_pd, tmp_p
                 total = 0
             if total >= expected_total and not q.status["isDataAvailable"]:
                 break
-            _time.sleep(2)
+            _time.sleep(0.5)
         q.stop()
 
     got = store.read().toPandas()

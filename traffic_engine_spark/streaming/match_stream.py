@@ -1,20 +1,40 @@
-"""Structured Streaming variant of the match pipeline (SURVEY §2.8).
+"""Structured Streaming variant of the match pipeline (SURVEY §2.8) —
+PLANET MODE: no O(network) driver state anywhere.
 
 The reference is a continuously-running stateful processor: per-vehicle
 queues, 5-minute vehicle TTL (VehicleStates.java:18,232-245), arrival-order
-pairing with no watermark.  The Spark recast:
+pairing with no watermark — and it holds the WHOLE network in process
+memory (VehicleStates.java:174-246).  This recast does better: the network
+stays a distributed (static) relation, and the stream composes as the same
+medallion the batch planet path uses:
 
-  readStream (images) → decode → applyInPandasWithState keyed by trace_id,
-  state = (last fix, pending crossings, last segment, last segment time) —
-  exactly the Vehicle fields (Vehicle.java:29-39) — with processing-time
-  timeout as the TTL (W4).
+  query 1 (bronze→silver):  readStream fixes
+      → `pair_fixes_stream`        stateful: state = lastPoint (+ a seq
+                                   counter), the pairing half of the
+                                   Vehicle fields (Vehicle.java:29-33)
+      → `stream_crossings`         STATELESS J1/J2 — literally the batch
+                                   `find_crossings` (pair bbox cover
+                                   explode ⋈ static tripline cell index,
+                                   refine inlined) on the pair stream
+      → append sink (parquet/Delta/Kafka — the silver crossing log)
 
-The kernel *shares the same state-transition code path shape* as the batch
-kernel (plans/match.py); batch is the source of truth for parity tests,
-and the streaming kernel is validated against batch outputs on the same
-fixture (tests/test_infra.py::test_streaming_kernel_matches_batch, plus the
-multi-microbatch variant that forces state round-trips mid-trace) via the
-foreachBatch-free memory sink.
+  query 2 (silver→gold):    readStream crossings
+      → `crossing_samples_stream`  stateful: state = pending crossings +
+                                   last segment + last segment time — the
+                                   REMAINING Vehicle fields (:34-39); the
+                                   two queries' states together are
+                                   exactly the reference's, unchanged
+      → `_jumper_samples_declarative`  STATELESS J4 over static dims —
+                                   shared verbatim with the batch planet
+                                   path
+      → samples sink (store merge / memory / …)
+
+Two queries are REQUIRED, not a style choice: Spark rejects chained
+applyInPandasWithState operators in one streaming query ("Multiple
+applyInPandasWithStates are not supported"), and the candidate join must
+sit between the two stateful steps.  Batch==stream exactness on finite
+inputs: tests/test_infra.py::test_streaming_kernel_matches_batch (+ the
+multi-microbatch variant that forces state round-trips mid-trace).
 
 The anonymity gate (W3, ≥10 vehicles per tile) is implemented as the
 reference's per-tile RELEASE gate (`gate_fixes_stream`: buffer a tile's
@@ -22,8 +42,7 @@ fixes until MINIMUM_VEHICLE_COUNT distinct traces were seen, then release
 and pass through; never-opening tiles TTL-evict their buffer —
 VehicleStates.java:188-245).  On a finite input the released row set
 equals the batch `anonymity_gate` exactly (test_streaming_gate_matches_
-batch); compose gate → kernel as two stages (bronze→silver) when both
-stateful operators are needed in one flow.
+batch); compose gate → pairing as a further bronze stage.
 """
 
 from __future__ import annotations
@@ -37,12 +56,8 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from ..config import (
     MAX_PAIR_DELTA_MS_QUIRK,
     MAX_SPEED,
-    MIN_SEGMENT_LEN,
     VEHICLE_INVALIDATION_TIME_MS,
-    Z_ITEM,
 )
-from ..functions.cells import bbox_tiles_np
-from ..oracle.pyoracle import intersection_distance
 
 STREAM_SAMPLE_SCHEMA = T.StructType(
     [
@@ -55,149 +70,237 @@ STREAM_SAMPLE_SCHEMA = T.StructType(
     ]
 )
 
-# state: lastPoint (ts, lat, lon), pending crossings, last segment nodes,
-# last segment time — GroupState holds one tuple row.
-#
-# Pending crossings are (time, tripline_id, segment_id, index, dist) tuples.
-# The ids are md5-derived 60-bit longs (> 2^53): they do NOT round-trip
-# through float64, so the state stores them as parallel LongType arrays —
-# an array<array<double>> encoding would silently corrupt every id at the
-# first microbatch boundary and pending crossings would never complete.
-STATE_SCHEMA = T.StructType(
+# ---------------------------------------------------------------------------
+# query 1: stateful pairing (Vehicle.java:29-33) + declarative J1/J2
+# ---------------------------------------------------------------------------
+
+PAIR_SCHEMA = T.StructType(
+    [
+        T.StructField("trace_id", T.LongType(), False),
+        T.StructField("seq", T.LongType(), False),
+        T.StructField("ts", T.LongType(), False),
+        T.StructField("p_ts", T.LongType(), False),
+        T.StructField("lat", T.DoubleType(), False),
+        T.StructField("lon", T.DoubleType(), False),
+        T.StructField("p_lat", T.DoubleType(), False),
+        T.StructField("p_lon", T.DoubleType(), False),
+    ]
+)
+
+# lastPoint exactly (Vehicle.java:29-33) plus n_fix, a per-trace fix
+# counter that orders crossings deterministically downstream (the batch
+# pipeline's `seq`; pure bookkeeping, no network data).
+PAIR_STATE_SCHEMA = T.StructType(
     [
         T.StructField("last_ts", T.LongType(), True),
         T.StructField("last_lat", T.DoubleType(), True),
         T.StructField("last_lon", T.DoubleType(), True),
-        T.StructField("pend_time", T.ArrayType(T.LongType()), True),
-        T.StructField("pend_tl", T.ArrayType(T.LongType()), True),
-        T.StructField("pend_seg", T.ArrayType(T.LongType()), True),
-        T.StructField("pend_idx", T.ArrayType(T.LongType()), True),
-        T.StructField("pend_dist", T.ArrayType(T.DoubleType()), True),
-        T.StructField("last_seg_start", T.LongType(), True),
-        T.StructField("last_seg_end", T.LongType(), True),
-        T.StructField("last_seg_time", T.LongType(), True),
+        T.StructField("n_fix", T.LongType(), True),
     ]
 )
 
 
-def make_stream_kernel(tile_index: dict, tl_attrs: dict, seg_nodes: dict, jumpers: dict):
-    """Build the applyInPandasWithState function over broadcastable dicts:
-    tile_index: (x, y) → [tripline_id], tl_attrs: id → (segment_id, index,
-    dist, lon0, lat0, lon1, lat1), seg_nodes: segment_id → (start, end),
-    jumpers: (end, start) → (length, [segment_ids])."""
+def pair_fixes_stream(fixes_stream: DataFrame) -> DataFrame:
+    """Per-trace GPS pairing as a minimal stateful stage: state is ONLY the
+    last fix — consecutive-fix pairs (after the F5 stationary, F6 max-gap
+    quirk, F7 first-point filters, same rules as plans/match.pair_fixes)
+    flow out as rows for the declarative candidate join."""
 
     def kernel(key, pdf_iter, state: GroupState):
         trace_id = key[0]
         if state.hasTimedOut:  # W4 vehicle eviction
             state.remove()
-            yield pd.DataFrame(columns=[f.name for f in STREAM_SAMPLE_SCHEMA.fields])
+            yield pd.DataFrame(columns=[f.name for f in PAIR_SCHEMA.fields])
             return
-
         if state.exists:
-            (last_ts, last_lat, last_lon,
-             p_time, p_tl, p_seg, p_idx, p_dist, lss, lse, lst) = state.get
-            pending = [
-                (int(t), int(tl), int(sg), int(ix), float(d))
-                for t, tl, sg, ix, d in zip(
-                    p_time or [], p_tl or [], p_seg or [], p_idx or [], p_dist or []
-                )
-            ]
-            last_seg = (lss, lse) if lss is not None else None
+            last_ts, last_lat, last_lon, n_fix = state.get
         else:
             last_ts = last_lat = last_lon = None
-            pending, last_seg, lst = [], None, None
-
+            n_fix = 0
         out = []
         for pdf in pdf_iter:
             for r in pdf.sort_values(["ts", "image_id"]).itertuples():
                 ts, lat, lon = int(r.ts), float(r.lat), float(r.lon)
                 p0 = (last_ts, last_lat, last_lon) if last_ts is not None else None
                 last_ts, last_lat, last_lon = ts, lat, lon
-                if p0 is None:
+                n_fix += 1
+                if p0 is None:  # F7
                     continue
-                if ts - p0[0] > MAX_PAIR_DELTA_MS_QUIRK:
+                if ts - p0[0] > MAX_PAIR_DELTA_MS_QUIRK:  # F6 (quirk)
                     continue
-                if p0[1] == lat and p0[2] == lon:
+                if p0[1] == lat and p0[2] == lon:  # F5
                     continue
-                crossings = []
-                for tile in bbox_tiles_np([p0[2], lon], [p0[1], lat], Z_ITEM, margin=1):
-                    for tl_id in tile_index.get(tile, ()):
-                        seg_id, idx, dist, lon0, lat0, lon1, lat1 = tl_attrs[tl_id]
-                        t_gps = intersection_distance((p0[2], p0[1]), (lon, lat), (lon0, lat0), (lon1, lat1))
-                        if t_gps is None or t_gps < 0 or t_gps > 1:
-                            continue
-                        t_tl = intersection_distance((lon0, lat0), (lon1, lat1), (p0[2], p0[1]), (lon, lat))
-                        if t_tl is None or t_tl < 0 or t_tl > 1:
-                            continue
-                        time = int((ts - p0[0]) * t_gps + p0[0])
-                        crossings.append((time, tl_id, seg_id, idx, dist, tile[0], tile[1]))
-                crossings.sort(key=lambda c: (c[0], c[5], c[6], c[1]))
-                for c_time, tl_id, c_seg, c_idx, c_dist, _, _ in crossings:
-                    last_crossing = None
-                    for pc in sorted(pending):
+                out.append(
+                    (trace_id, n_fix - 1, ts, p0[0], lat, lon, p0[1], p0[2])
+                )
+        state.update((last_ts, last_lat, last_lon, n_fix))
+        state.setTimeoutDuration(VEHICLE_INVALIDATION_TIME_MS)
+        yield pd.DataFrame(out, columns=[f.name for f in PAIR_SCHEMA.fields])
+
+    return fixes_stream.groupBy("trace_id").applyInPandasWithState(
+        kernel,
+        outputStructType=PAIR_SCHEMA,
+        stateStructType=PAIR_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+def stream_crossings(fixes_stream: DataFrame, triplines: DataFrame) -> DataFrame:
+    """Query-1 composition: stateful pairing → the BATCH `find_crossings`
+    (J1 packed-cell equi-join against the static tripline index + inlined
+    J2 refine — shared code, not a streaming re-implementation).  The
+    result is the append-mode crossing log to persist as the silver table
+    (CROSSING_SCHEMA = find_crossings' output shape)."""
+    from ..plans.match import find_crossings, tripline_cell_index
+
+    pairs = pair_fixes_stream(fixes_stream)
+    return find_crossings(pairs, tripline_cell_index(triplines))
+
+
+CROSSING_SCHEMA = (
+    "trace_id long, seq long, time long, segment_id long, tripline_index int, "
+    "tripline_id long, dist double, tile_x long, tile_y long"
+)
+
+
+# ---------------------------------------------------------------------------
+# query 2: stateful crossing pairing (Vehicle.java:34-39) + declarative J4
+# ---------------------------------------------------------------------------
+
+CROSS_SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("trace_id", T.LongType(), False),
+        T.StructField("segment_id", T.LongType(), False),
+        T.StructField("time", T.LongType(), False),
+        T.StructField("speed", T.DoubleType(), False),
+        T.StructField("end_time", T.LongType(), False),
+        T.StructField("prev_seg", T.LongType(), False),
+        T.StructField("prev_time", T.LongType(), False),
+    ]
+)
+
+# pending crossings + last segment + last segment time — the remaining
+# Vehicle fields (Vehicle.java:34-39); together with PAIR_STATE_SCHEMA the
+# reference's state is covered unchanged.
+#
+# Pending crossings are (time, tripline_id, segment_id, index, dist)
+# tuples.  The ids are md5-derived 60-bit longs (> 2^53): they do NOT
+# round-trip through float64, so the state stores them as parallel
+# LongType arrays — an array<array<double>> encoding would silently
+# corrupt every id at the first microbatch boundary and pending crossings
+# would never complete.
+CROSS_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("pend_time", T.ArrayType(T.LongType()), True),
+        T.StructField("pend_tl", T.ArrayType(T.LongType()), True),
+        T.StructField("pend_seg", T.ArrayType(T.LongType()), True),
+        T.StructField("pend_idx", T.ArrayType(T.LongType()), True),
+        T.StructField("pend_dist", T.ArrayType(T.DoubleType()), True),
+        T.StructField("last_seg", T.LongType(), True),
+        T.StructField("last_time", T.LongType(), True),
+    ]
+)
+
+
+def crossing_samples_stream(crossings_stream: DataFrame) -> DataFrame:
+    """Per-trace J3 crossing pairing over the silver crossing log: the
+    batch planet kernel's state machine (plans/match.speed_samples_planet)
+    with the state held in GroupState instead of partition-stream locals.
+    Emits crossing samples carrying (prev_seg, prev_time) so J4 jumper
+    gap-fill stays a downstream DECLARATIVE join (`jumper_samples_stream`)
+    — no network dict anywhere."""
+
+    def kernel(key, pdf_iter, state: GroupState):
+        trace_id = key[0]
+        if state.hasTimedOut:  # W4 vehicle eviction
+            state.remove()
+            yield pd.DataFrame(columns=[f.name for f in CROSS_SAMPLE_SCHEMA.fields])
+            return
+        if state.exists:
+            p_time, p_tl, p_seg, p_idx, p_dist, last_seg, last_time = state.get
+            pending = [
+                (int(t), int(tl), int(sg), int(ix), float(d))
+                for t, tl, sg, ix, d in zip(
+                    p_time or [], p_tl or [], p_seg or [], p_idx or [], p_dist or []
+                )
+            ]
+            last_seg = int(last_seg) if last_seg is not None else -1
+            last_time = int(last_time) if last_time is not None else 0
+        else:
+            pending, last_seg, last_time = [], -1, 0
+
+        out = []
+        for pdf in pdf_iter:
+            # the batch kernel's deterministic order (B-tree scan parity):
+            # fix order, then (time, tile_x, tile_y, tripline_id)
+            pdf = pdf.sort_values(
+                ["seq", "time", "tile_x", "tile_y", "tripline_id"], kind="mergesort"
+            )
+            for r in pdf.itertuples():
+                c_time, tl_id = int(r.time), int(r.tripline_id)
+                c_seg, c_idx, c_dist = int(r.segment_id), int(r.tripline_index), float(r.dist)
+                last_crossing = None
+                if pending:
+                    it = pending if len(pending) == 1 else sorted(pending)
+                    for pc in it:
                         if pc[2] == c_seg and pc[3] <= c_idx and abs(pc[3] - c_idx) == 1:
                             last_crossing = pc
                             pending = []
                             break
-                    if c_idx == 1:
-                        pending.append((c_time, tl_id, c_seg, c_idx, c_dist))
-                    if last_crossing is None:
-                        continue
-                    if c_idx < last_crossing[3]:
-                        continue
-                    dt_s = (c_time - last_crossing[0]) // 1000
-                    if dt_s == 0:
-                        continue
-                    speed = abs(c_dist - last_crossing[4]) / dt_s
-                    if speed > MAX_SPEED:
-                        continue
-                    sample_time = int(last_crossing[0])
-                    cur = seg_nodes.get(c_seg)
-                    if cur is not None and last_seg is not None and last_seg[1] != cur[0]:
-                        jm = jumpers.get((last_seg[1], cur[0]))
-                        if jm is not None:
-                            dtj = (sample_time - lst) // 1000
-                            jspeed = (jm[0] + MIN_SEGMENT_LEN * 2) / dtj if dtj != 0 else float("inf")
-                            for sid in jm[1]:
-                                out.append((trace_id, sid, sample_time, jspeed, "jumper", c_time))
-                    lst = sample_time
-                    last_seg = cur
-                    out.append((trace_id, c_seg, sample_time, speed, "crossing", c_time))
+                if c_idx == 1:
+                    pending.append((c_time, tl_id, c_seg, c_idx, c_dist))
+                if last_crossing is None:
+                    continue
+                if c_idx < last_crossing[3]:
+                    continue
+                dt_s = (c_time - last_crossing[0]) // 1000
+                if dt_s == 0:
+                    continue
+                speed = abs(c_dist - last_crossing[4]) / dt_s
+                if speed > MAX_SPEED:
+                    continue
+                out.append(
+                    (trace_id, c_seg, last_crossing[0], speed, c_time,
+                     last_seg, last_time)
+                )
+                last_seg = c_seg
+                last_time = last_crossing[0]
 
         state.update(
             (
-                last_ts, last_lat, last_lon,
                 [int(p[0]) for p in pending],
                 [int(p[1]) for p in pending],
                 [int(p[2]) for p in pending],
                 [int(p[3]) for p in pending],
                 [float(p[4]) for p in pending],
-                last_seg[0] if last_seg else None,
-                last_seg[1] if last_seg else None,
-                lst,
+                last_seg,
+                last_time,
             )
         )
         state.setTimeoutDuration(VEHICLE_INVALIDATION_TIME_MS)
-        yield pd.DataFrame(
-            out, columns=[f.name for f in STREAM_SAMPLE_SCHEMA.fields]
-        )
+        yield pd.DataFrame(out, columns=[f.name for f in CROSS_SAMPLE_SCHEMA.fields])
 
-    return kernel
+    return crossings_stream.groupBy("trace_id").applyInPandasWithState(
+        kernel,
+        outputStructType=CROSS_SAMPLE_SCHEMA,
+        stateStructType=CROSS_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
 
 
-def stream_speed_samples(fixes_stream: DataFrame, network_dicts) -> DataFrame:
-    """fixes readStream → speed samples via per-trace stateful kernel."""
-    tile_index, tl_attrs, seg_nodes, jumpers = network_dicts
-    kernel = make_stream_kernel(tile_index, tl_attrs, seg_nodes, jumpers)
-    return (
-        fixes_stream.groupBy("trace_id")
-        .applyInPandasWithState(
-            kernel,
-            outputStructType=STREAM_SAMPLE_SCHEMA,
-            stateStructType=STATE_SCHEMA,
-            outputMode="append",
-            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
-        )
+def jumper_samples_stream(
+    spark, crossings_stream: DataFrame, segments: DataFrame, jumpers
+) -> DataFrame:
+    """Query-2 composition: crossing kernel → the BATCH
+    `_jumper_samples_declarative` (J4 as stream-static joins + the
+    combined struct-array explode — shared code).  Returns the final
+    append-mode SAMPLE_SCHEMA stream."""
+    from ..plans.match import _jumper_samples_declarative
+
+    return _jumper_samples_declarative(
+        spark, crossing_samples_stream(crossings_stream), segments, jumpers
     )
 
 
@@ -381,25 +484,3 @@ def gate_fixes_stream(
     )
 
 
-def network_to_dicts(segments_pd, triplines_pd, jumpers_pd):
-    """Pack the (small) network tables into the kernel's lookup dicts."""
-    tile_index: dict = {}
-    tl_attrs: dict = {}
-    for r in triplines_pd.itertuples():
-        tl_attrs[int(r.tripline_id)] = (
-            int(r.segment_id), int(r.tripline_index), float(r.dist_m),
-            float(r.lon0), float(r.lat0), float(r.lon1), float(r.lat1),
-        )
-        for t in bbox_tiles_np([r.lon0, r.lon1], [r.lat0, r.lat1], Z_ITEM, margin=0):
-            tile_index.setdefault(t, []).append(int(r.tripline_id))
-    for ids in tile_index.values():
-        ids.sort()
-    seg_nodes = {
-        int(r.segment_id): (int(r.start_node_id), int(r.end_node_id))
-        for r in segments_pd.itertuples()
-    }
-    jumpers = {
-        (int(r.start_node_id), int(r.end_node_id)): (float(r.length_m), [int(x) for x in r.segment_ids])
-        for r in jumpers_pd.itertuples()
-    }
-    return tile_index, tl_attrs, seg_nodes, jumpers
