@@ -157,6 +157,45 @@ def main():
         timings[name] = round(time.time() - t0, 3)
         log(f"{name}: {cnt} rows in {timings[name]}s")
 
+    # --- embedding-LSH candidate growth n→4n (VERDICT r3 #3) --------------
+    # Under the adaptive band rule candidate pairs must grow ~linearly on a
+    # corpus quadrupling (fixed band_planes is ~quadratic).  Deterministic
+    # synthetic gaussian vectors (seed 0); counts are the raw band-join
+    # output — the structural join size the rule bounds.
+    import numpy as np
+    import pandas as _pd
+
+    from traffic_engine_spark.operators import dedup as D
+
+    t0 = time.time()
+    rng = np.random.RandomState(0)
+
+    def _emb(n):
+        vecs = rng.randn(n, 64).round(3)
+        return spark.createDataFrame(
+            _pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64), "embedding": list(vecs)})
+        )
+
+    def _cands(emb, r, L):
+        bands = D.lsh_band_keys(emb, band_planes=r, n_bands=L)
+        return (
+            bands.alias("a").join(bands.alias("b"), ["band", "bval"])
+            .filter("a.id < b.id").count()
+        )
+
+    g_n = 4096
+    small, big = _emb(g_n), _emb(4 * g_n)
+    r_s, l_s = D.lsh_auto_bands(g_n, 0.9)
+    r_b, l_b = D.lsh_auto_bands(4 * g_n, 0.9)
+    c_s, c_b = _cands(small, r_s, l_s), _cands(big, r_b, l_b)
+    growth = {
+        "n": g_n, "bands_n": [r_s, l_s], "bands_4n": [r_b, l_b],
+        "cand_n": c_s, "cand_4n": c_b,
+        "ratio": round(c_b / max(c_s, 1), 2),
+    }
+    timings["dedup_embedding_lsh_growth"] = round(time.time() - t0, 3)
+    log(f"lsh growth n→4n: {growth}")
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "spatial-join + tile-assignment + headline queries, total wall",
@@ -167,6 +206,7 @@ def main():
         "rows_per_sec": rows_per_sec,
         "pipeline_rows": n_images,
         "cpus": cpus,
+        "lsh_candidate_growth": growth,
     }
     spark.stop()
     # keep the on-disk registry manifest fresh (tested by

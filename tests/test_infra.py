@@ -648,6 +648,61 @@ def test_embedding_lsh_recall_vs_brute(spark):
     assert recall >= 0.5, f"LSH recall {recall:.2f} too low for 8 planes"
 
 
+def test_lsh_auto_bands_rule():
+    """The adaptive band rule: band cardinality tracks corpus size (bucket
+    ≈ LSH_TARGET_BUCKET_ROWS), band count holds recall at the threshold,
+    both clipped to sane ranges."""
+    from traffic_engine_spark.operators.dedup import LSH_TARGET_BUCKET_ROWS, lsh_auto_bands
+
+    r1, l1 = lsh_auto_bands(1_000, 0.9)
+    r2, l2 = lsh_auto_bands(4_000, 0.9)
+    r3, l3 = lsh_auto_bands(10_000_000, 0.9)
+    assert r1 < r2 < r3 <= 16  # cardinality grows with the corpus
+    assert l1 <= l2 <= l3 <= 64  # more bands to hold recall as r rises
+    assert lsh_auto_bands(10, 0.9)[0] == 4  # floor
+    # expected bucket stays ~constant: n / 2^r ≈ target
+    for n, r in ((1_000, r1), (4_000, r2)):
+        assert n / (1 << r) <= LSH_TARGET_BUCKET_ROWS
+
+
+def test_lsh_candidate_growth_linear(spark):
+    """VERDICT r3 #3: under the adaptive rule, candidate pairs grow
+    ~linearly when the corpus quadruples; at FIXED band_planes they grow
+    ~quadratically (the documented 100-TB failure mode)."""
+    import numpy as np
+
+    from traffic_engine_spark.operators import dedup as D
+
+    rng = np.random.RandomState(0)
+
+    def corpus(n):
+        vecs = rng.randn(n, 64).round(3)
+        pdf = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                            "embedding": list(vecs)})
+        return spark.createDataFrame(pdf)
+
+    def cand_count(emb, r, L):
+        bands = D.lsh_band_keys(emb, band_planes=r, n_bands=L)
+        return (
+            bands.alias("a").join(bands.alias("b"), ["band", "bval"])
+            .filter(F.col("a.id") < F.col("b.id")).count()
+        )
+
+    n = 4_096
+    small, big = corpus(n), corpus(4 * n)
+    r_s, l_s = D.lsh_auto_bands(n, 0.9)
+    r_b, l_b = D.lsh_auto_bands(4 * n, 0.9)
+    assert r_b == r_s + 2  # 4x corpus -> +2 planes, bucket held constant
+    c_small = cand_count(small, r_s, l_s)
+    c_big = cand_count(big, r_b, l_b)
+    auto_ratio = c_big / max(c_small, 1)
+    fixed_ratio = cand_count(big, r_s, l_s) / max(c_small, 1)
+    # adaptive: ~linear (4x data, <=8x candidates incl. the band-count
+    # rise); fixed planes: ~quadratic (>=12x)
+    assert auto_ratio <= 8.0, auto_ratio
+    assert fixed_ratio >= 12.0, fixed_ratio
+
+
 def test_ngram_prefix_matches_quadratic(spark):
     """Prefix filtering (AllPairs) is EXACT: identical (doc_a, doc_b,
     jaccard) rows to the blocked-quadratic path — the hot-block scale

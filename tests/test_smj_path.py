@@ -20,3 +20,84 @@ def test_sort_merge_join_path_matches_broadcast(spark, spark_network, images_pd)
     a = bc[key].sort_values(key).reset_index(drop=True)
     b = smj[key].sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b, check_exact=True)
+
+
+def test_smj_salted_unsalted_identical(spark, spark_network, images_pd):
+    """cfg.salt_smj_hot_cells must not change the crossing row multiset."""
+    from traffic_engine_spark.config import EngineConfig
+
+    _, tls, _ = spark_network
+    images = spark.createDataFrame(images_pd)
+    pairs = M.pair_fixes(M.decode_fixes(images))
+    tli = M.tripline_cell_index(tls)
+    salted = M.find_crossings(pairs, tli, broadcast_triplines=False).toPandas()
+    plain = M.find_crossings(
+        pairs, tli, broadcast_triplines=False,
+        cfg=EngineConfig(salt_smj_hot_cells=False),
+    ).toPandas()
+    key = list(salted.columns)
+    pd.testing.assert_frame_equal(
+        salted.sort_values(key).reset_index(drop=True),
+        plain[key].sort_values(key).reset_index(drop=True),
+        check_exact=True,
+    )
+
+
+def test_salted_j1_bounds_hot_cell_task_rows(spark):
+    """Skewed fixture (one cell holds ~90% of probe rows): the salted J1
+    join must spread the hot cell across salt buckets — max rows per
+    shuffle task drops by ~B vs the unsalted shuffle join — while the
+    joined row multiset stays identical."""
+    import pandas as pd_
+    from pyspark.sql import functions as F
+
+    from traffic_engine_spark.config import EngineConfig
+    from traffic_engine_spark.plans.skew import salted_join
+
+    cfg = EngineConfig()
+    hot_n, cold_cells, per_cold = 9000, 50, 20
+    probe = pd_.DataFrame({
+        "_ck": [7777] * hot_n + [i for i in range(cold_cells) for _ in range(per_cold)],
+        "seq": list(range(hot_n + cold_cells * per_cold)),
+    })
+    build = pd_.DataFrame({
+        "_ck": [7777] * 5 + list(range(cold_cells)),
+        "tl": list(range(5 + cold_cells)),
+    })
+    p, b = spark.createDataFrame(probe), spark.createDataFrame(build)
+
+    def max_task_rows(df):
+        return (
+            df.withColumn("pid", F.spark_partition_id())
+            .groupBy("pid").count().agg(F.max("count")).first()[0]
+        )
+
+    # force the SMJ regime this salting targets: no auto-broadcast (the
+    # fixture build side is tiny but stands in for an over-broadcast-size
+    # index) and no AQE skew-split (the runtime backstop would mask the
+    # plan-level bound being asserted)
+    conf = spark.conf
+    saved = {k: conf.get(k) for k in
+             ("spark.sql.autoBroadcastJoinThreshold", "spark.sql.adaptive.enabled",
+              "spark.sql.shuffle.partitions")}
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.enabled", "false")
+        # enough reduce tasks that distinct (cell, salt) keys rarely
+        # collide into one task — the suite default of 8 would re-merge
+        # salts by hash collision and mask the spread
+        conf.set("spark.sql.shuffle.partitions", "64")
+        salted = salted_join(p, b, ["_ck"], probe_key="seq", cfg=cfg)
+        plain = p.join(b, "_ck")
+        m_salted, m_plain = max_task_rows(salted), max_task_rows(plain)
+        a = salted.toPandas().sort_values(["_ck", "seq", "tl"]).reset_index(drop=True)
+        c = plain.toPandas()[a.columns].sort_values(["_ck", "seq", "tl"]).reset_index(drop=True)
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
+    # hot cell: 9000 x 5 = 45k rows on ONE task unsalted; salted spreads
+    # them over cfg.salt_buckets (cell, salt) keys — allow one hash
+    # collision of salts into a task, hence /3 rather than /B
+    assert m_plain >= hot_n * 5
+    assert m_salted <= m_plain / 3, (m_salted, m_plain)
+    pd_.testing.assert_frame_equal(a, c, check_exact=True)

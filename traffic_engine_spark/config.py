@@ -75,6 +75,10 @@ class EngineConfig:
     # get salted into `salt_buckets` sub-keys before the J1 join.
     skew_cell_fraction: float = 0.05
     salt_buckets: int = 8
+    # J1 SMJ branch only (tripline index above broadcast size): salt hot
+    # cells explicitly via plans/skew.salted_join before the candidate
+    # join.  AQE skew-split remains the runtime backstop either way.
+    salt_smj_hot_cells: bool = True
     # Column-pruning guard: never carry `bytes` through shuffles (SURVEY §7.4.5)
     carry_payload: bool = False
     # Planet-scale mode (DEFAULT): no O(network) driver collects anywhere —

@@ -217,8 +217,22 @@ def find_crossings(
     packed_key = pack_xy(F.col("tile_x"), F.col("tile_y"))
     gps_cells = gps_cells.withColumn("_ck", packed_key)
     tl_packed = tripline_index.withColumn("_ck", packed_key).drop("tile_x", "tile_y")
-    tl = F.broadcast(tl_packed) if broadcast_triplines else tl_packed
-    j = gps_cells.join(tl, "_ck", "inner")
+    if broadcast_triplines:
+        j = gps_cells.join(F.broadcast(tl_packed), "_ck", "inner")
+    elif cfg.salt_smj_hot_cells:
+        # SMJ branch (tripline index above broadcast size): dense urban
+        # cells concentrate candidate rows on single shuffle tasks, and
+        # AQE skew-split alone still materialises the skewed map output
+        # first — salt hot cells explicitly (plans/skew.salted_join:
+        # deterministic probe-side salt, build-side replication; cold
+        # cells join plan-identically on salt 0).  Runs one sampling agg
+        # over the probe at plan time, same CBO-substitute contract as
+        # the segment-dim gate below.
+        from .skew import salted_join
+
+        j = salted_join(gps_cells, tl_packed, ["_ck"], probe_key="seq", cfg=cfg)
+    else:
+        j = gps_cells.join(tl_packed, "_ck", "inner")
 
     # J2 refine — LineSegment.intersectionDistance (LineSegment.java:17-43)
     rx, ry = F.col("lon") - F.col("p_lon"), F.col("lat") - F.col("p_lat")

@@ -1128,8 +1128,12 @@ WHERE round(list_dot_product(a.v, c.v)
 def dedup_embedding_lsh(spark, sf_dir):
     """The SCALE path for embedding near-dup: multi-band (8×4-bit)
     hyperplane candidates + exact cosine verify (the all-pairs crossJoin
-    stays a test-scale yardstick — see test_embedding_lsh_recall_vs_brute)."""
-    return dedup.embedding_lsh_pairs(_t(spark, sf_dir, "embeddings"), min_cosine=0.3)
+    stays a test-scale yardstick — see test_embedding_lsh_recall_vs_brute).
+    Band shape pinned explicitly so the DuckDB oracle stays byte-stable;
+    the operator DEFAULT is the corpus-adaptive rule (dedup.lsh_auto_bands)."""
+    return dedup.embedding_lsh_pairs(
+        _t(spark, sf_dir, "embeddings"), min_cosine=0.3, band_planes=4, n_bands=8
+    )
 
 
 @q(
