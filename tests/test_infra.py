@@ -648,6 +648,27 @@ def test_embedding_lsh_recall_vs_brute(spark):
     assert recall >= 0.5, f"LSH recall {recall:.2f} too low for 8 planes"
 
 
+def test_embedding_ivf_pairs_subset_of_brute(spark):
+    """The IVF-blocked cosine path (content-blocked alternative to the
+    adaptive LSH bands): candidates ⊆ brute with identical cosines and
+    usable recall at the dedup threshold using seed centroids."""
+    from traffic_engine_spark.operators import dedup as D
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    centroids = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cv")
+    )
+    brute = D.embedding_cosine_pairs(emb, min_cosine=0.3).toPandas()
+    ivf = D.embedding_ivf_pairs(emb, centroids, min_cosine=0.3, assign_top=3).toPandas()
+    bset = {(a, b): c for a, b, c in brute.itertuples(index=False)}
+    iset = {(a, b): c for a, b, c in ivf.itertuples(index=False)}
+    assert set(iset) <= set(bset)  # exact verify: no false positives
+    for kk, v in iset.items():
+        assert v == bset[kk]
+    recall = len(iset) / max(len(bset), 1)
+    assert recall >= 0.7, f"IVF recall {recall:.2f} too low (top-3 of 16 cells)"
+
+
 def test_lsh_auto_bands_rule():
     """The adaptive band rule: band cardinality tracks corpus size (bucket
     ≈ LSH_TARGET_BUCKET_ROWS), band count holds recall at the threshold,

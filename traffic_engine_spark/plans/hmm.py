@@ -57,6 +57,22 @@ def _pruned_candidates(fixes: DataFrame, segments: DataFrame, k: int) -> DataFra
     conservative per-fix top-k prune, everything codegen — the exact rows
     that cross the Arrow boundary into the kernel."""
     cover = _segment_cover(segments)
+    # size-gate an explicit broadcast hint on the cover dim: a
+    # materialized (localCheckpoint/RDD-backed) segment table carries no
+    # plan-time statistics, so without the hint Spark falls back to
+    # sort-merge and shuffles the whole fix side — the same
+    # no-stats-on-the-fact-side trap as the seg-dim gate in plans/match
+    # (cfg.broadcast_dim_max_rows).  The count is memoised per segments
+    # DataFrame, shared with that gate.
+    from ..config import DEFAULT_CONFIG
+
+    n_segs = getattr(segments, "_te_rowcount", None)
+    if n_segs is None:
+        n_segs = segments.count()
+        segments._te_rowcount = n_segs
+    # ~13 cover rows/segment (bbox ±1 ring): stay under the dim cap
+    if n_segs * 13 <= DEFAULT_CONFIG.broadcast_dim_max_rows:
+        cover = F.broadcast(cover)
     # non-finite coordinates (decode_fixes' try_cast admits 'NaN' and
     # 'Infinity' captions) are garbage for matching AND poison fix
     # identity (NaN != NaN splits runs while the oracle's drop_duplicates
