@@ -192,8 +192,11 @@ def main():
         "n": g_n, "bands_n": [r_s, l_s], "bands_4n": [r_b, l_b],
         "cand_n": c_s, "cand_4n": c_b,
         "ratio": round(c_b / max(c_s, 1), 2),
+        # diagnostic wall, NOT summed into the headline total (it is a
+        # scale-behavior check on synthetic vectors, not a headline query
+        # — keeping it out preserves round-over-round total comparability)
+        "probe_sec": round(time.time() - t0, 3),
     }
-    timings["dedup_embedding_lsh_growth"] = round(time.time() - t0, 3)
     log(f"lsh growth n→4n: {growth}")
 
     total = round(sum(timings.values()), 3)

@@ -231,6 +231,23 @@ def test_streaming_multi_microbatch_matches_batch(spark, spark_network, images_p
     _assert_samples_equal(batch, got)
 
 
+def test_streaming_kernel_tiny_arrow_batches(spark, spark_network, images_pd):
+    """Arrow chunk-split regression: with maxRecordsPerBatch far below the
+    per-trace row counts, each stateful kernel receives one group's data
+    as MANY chunks — the deterministic scan must span the whole delivered
+    batch (concat-then-sort), or pairing/pending order silently breaks."""
+    batch = _batch_samples(spark, spark_network, images_pd)
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    saved = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "16")
+        got = _run_stream(spark, spark_network, images_pd, "stream_samples_tiny",
+                          n_slices=1, expected_rows=len(batch))
+    finally:
+        spark.conf.set(key, saved)
+    _assert_samples_equal(batch, got)
+
+
 def test_streaming_offmap_matches_batch(spark, spark_network, images_pd):
     """S9 on the stream (medallion wiring): off-map traces derived from the
     multi-microbatch streamed samples must equal the batch plan's rows

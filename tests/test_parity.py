@@ -172,6 +172,28 @@ def test_viterbi_match_exact(spark, spark_network, images_pd):
     pd.testing.assert_frame_equal(got, want, check_exact=True, check_dtype=False)
 
 
+def test_viterbi_duplicate_fixes_invariant(spark, spark_network, images_pd):
+    """Duplicated fix rows (two images with identical captions → identical
+    (trace, ts, lat, lon)) must not change the decode: fix identity is the
+    coordinate key, and — regression for the JVM prune — duplicate
+    candidate rows must not double-count top-k ranks and cut true
+    candidates."""
+    from traffic_engine_spark.plans import hmm
+
+    segs, _, _ = spark_network
+    fixes_df = M.decode_fixes(spark.createDataFrame(images_pd))
+    doubled = fixes_df.unionByName(fixes_df)
+    a = hmm.viterbi_match(fixes_df, segs).toPandas()
+    b = hmm.viterbi_match(doubled, segs).toPandas()
+    key = ["trace_id", "seq"]
+    assert (a.segment_id >= 0).sum() > 50
+    pd.testing.assert_frame_equal(
+        a.sort_values(key).reset_index(drop=True),
+        b.sort_values(key).reset_index(drop=True),
+        check_exact=True,
+    )
+
+
 def test_viterbi_partitioning_invariant(spark, spark_network, images_pd):
     """Viterbi output must be identical under a different partitioning of
     the fixes (the north rule's cluster-size-independence requirement)."""

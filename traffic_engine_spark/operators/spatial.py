@@ -191,7 +191,9 @@ def knn_join_cells(
             cand.withColumn("_n", F.max("rank").over(wp))
             .withColumn("_kd", F.max("dist2").over(wp))
             .withColumn("_ok", (F.col("_n") == k) & (F.col("_kd") < guarantee))
-            .localCheckpoint()  # ≤ k rows/point; reused for sat + residual
+            .localCheckpoint(eager=False)  # ≤ k rows/point; reused for
+            # sat + residual — lazy: materialises during the isEmpty
+            # action below, no separate eager pass
         )
         sat = cand.filter(F.col("_ok")).select(*out_cols)
         out = sat if out is None else out.unionByName(sat)
@@ -199,7 +201,7 @@ def knn_join_cells(
             cand.filter(F.col("_ok")).select(point_id).distinct(),
             point_id,
             "left_anti",
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         if remaining.isEmpty():
             break
         r, first = r * 4, False

@@ -130,12 +130,24 @@ def _pruned_candidates(fixes: DataFrame, segments: DataFrame, k: int) -> DataFra
     t = F.least(F.greatest(t_raw, F.lit(0.0)), F.lit(1.0))
     djvm = F.hypot(px - (axm + t * dxx), py - (aym + t * dyy))
     wfix = Window.partitionBy("trace_id", "ts", "lat", "lon")
+    # duplicate FIXES (two images with identical captions → identical
+    # (trace, ts, lat, lon) rows) would double-count ranks in the top-k
+    # window below and cut true top-k candidates — dedupe (fix, segment)
+    # first.  The duplicate rows are value-identical in every column, so
+    # keeping rank 1 is exact; the window clusters on a superset of
+    # trace_id, so it rides the same single exchange.
+    wdup = Window.partitionBy(
+        "trace_id", "ts", "lat", "lon", "segment_id"
+    ).orderBy("segment_id")
     cand = (
         # ONE exchange for the whole operator: hash partitioning on
-        # trace_id satisfies both the per-fix window's clustering (its
-        # keys are a superset) and the applyInPandas group distribution,
-        # so the prune costs a local sort, not a second shuffle
+        # trace_id satisfies the dedup window, the per-fix prune window,
+        # AND the kernel's group distribution — everything after the
+        # repartition is local sorts
         cand.repartition("trace_id")
+        .withColumn("_dup", F.row_number().over(wdup))
+        .filter(F.col("_dup") == 1)
+        .drop("_dup")
         .withColumn("_djvm", djvm)
         .withColumn(
             "_rk",

@@ -25,14 +25,19 @@ from ..functions.cells import morton_col, tile_x_col, tile_y_col
 
 
 def hot_cells(df: DataFrame, cell_cols: list[str], fraction: float) -> DataFrame:
-    """Cells holding more than `fraction` of all rows (one aggregation)."""
-    total = df.count()
-    return (
-        df.groupBy(*cell_cols)
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") > F.lit(int(total * fraction)))
-        .select(*cell_cols)
+    """Cells holding more than `fraction` of all rows.
+
+    ONE pass over ``df``: the per-cell counts are materialized once
+    (eager localCheckpoint — this function is inherently a plan-time
+    statistics job), the total comes from summing that tiny grouped
+    result, and the threshold filter reads the same materialization —
+    a separate ``df.count()`` would re-execute the full upstream lineage
+    (at the J1 call site that lineage is the ~20×-exploded probe)."""
+    counts = (
+        df.groupBy(*cell_cols).agg(F.count(F.lit(1)).alias("n")).localCheckpoint()
     )
+    total = counts.agg(F.sum("n")).first()[0] or 0
+    return counts.filter(F.col("n") > F.lit(int(total * fraction))).select(*cell_cols)
 
 
 def salted_join(

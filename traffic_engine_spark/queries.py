@@ -1897,3 +1897,10 @@ def write_manifest(path: str = None) -> str:
         json.dump(registry_manifest(), f, indent=1)
         f.write("\n")
     return path
+
+
+if __name__ == "__main__":
+    # lightweight manifest regeneration (`python -m traffic_engine_spark.queries`)
+    # so a registry edit doesn't require a full bench run to satisfy
+    # tests/test_yardsticks.py::test_manifest_on_disk_is_fresh
+    print(write_manifest())

@@ -54,9 +54,12 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..config import (
+    DEFAULT_CONFIG,
+    MAX_PAIR_DELTA_MS_FIXED,
     MAX_PAIR_DELTA_MS_QUIRK,
     MAX_SPEED,
     VEHICLE_INVALIDATION_TIME_MS,
+    EngineConfig,
 )
 
 STREAM_SAMPLE_SCHEMA = T.StructType(
@@ -100,11 +103,17 @@ PAIR_STATE_SCHEMA = T.StructType(
 )
 
 
-def pair_fixes_stream(fixes_stream: DataFrame) -> DataFrame:
+def pair_fixes_stream(
+    fixes_stream: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
     """Per-trace GPS pairing as a minimal stateful stage: state is ONLY the
-    last fix — consecutive-fix pairs (after the F5 stationary, F6 max-gap
-    quirk, F7 first-point filters, same rules as plans/match.pair_fixes)
-    flow out as rows for the declarative candidate join."""
+    last fix — consecutive-fix pairs (after the F5 stationary, F6 max-gap,
+    F7 first-point filters, same rules AND the same cfg.strict_parity
+    gating as plans/match.pair_fixes) flow out as rows for the declarative
+    candidate join."""
+    max_gap = (
+        MAX_PAIR_DELTA_MS_QUIRK if cfg.strict_parity else MAX_PAIR_DELTA_MS_FIXED
+    )
 
     def kernel(key, pdf_iter, state: GroupState):
         trace_id = key[0]
@@ -118,15 +127,20 @@ def pair_fixes_stream(fixes_stream: DataFrame) -> DataFrame:
             last_ts = last_lat = last_lon = None
             n_fix = 0
         out = []
-        for pdf in pdf_iter:
-            for r in pdf.sort_values(["ts", "image_id"]).itertuples():
+        # Arrow may split one group's microbatch data across chunks
+        # (maxRecordsPerBatch); the deterministic scan order must span the
+        # WHOLE delivered batch, so concatenate before the single sort
+        chunks = [c for c in pdf_iter if len(c)]
+        if chunks:
+            whole = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+            for r in whole.sort_values(["ts", "image_id"]).itertuples():
                 ts, lat, lon = int(r.ts), float(r.lat), float(r.lon)
                 p0 = (last_ts, last_lat, last_lon) if last_ts is not None else None
                 last_ts, last_lat, last_lon = ts, lat, lon
                 n_fix += 1
                 if p0 is None:  # F7
                     continue
-                if ts - p0[0] > MAX_PAIR_DELTA_MS_QUIRK:  # F6 (quirk)
+                if ts - p0[0] > max_gap:  # F6 (strict_parity-gated)
                     continue
                 if p0[1] == lat and p0[2] == lon:  # F5
                     continue
@@ -146,7 +160,9 @@ def pair_fixes_stream(fixes_stream: DataFrame) -> DataFrame:
     )
 
 
-def stream_crossings(fixes_stream: DataFrame, triplines: DataFrame) -> DataFrame:
+def stream_crossings(
+    fixes_stream: DataFrame, triplines: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
     """Query-1 composition: stateful pairing → the BATCH `find_crossings`
     (J1 packed-cell equi-join against the static tripline index + inlined
     J2 refine — shared code, not a streaming re-implementation).  The
@@ -154,8 +170,8 @@ def stream_crossings(fixes_stream: DataFrame, triplines: DataFrame) -> DataFrame
     (CROSSING_SCHEMA = find_crossings' output shape)."""
     from ..plans.match import find_crossings, tripline_cell_index
 
-    pairs = pair_fixes_stream(fixes_stream)
-    return find_crossings(pairs, tripline_cell_index(triplines))
+    pairs = pair_fixes_stream(fixes_stream, cfg)
+    return find_crossings(pairs, tripline_cell_index(triplines), cfg=cfg)
 
 
 CROSSING_SCHEMA = (
@@ -231,7 +247,12 @@ def crossing_samples_stream(crossings_stream: DataFrame) -> DataFrame:
             pending, last_seg, last_time = [], -1, 0
 
         out = []
-        for pdf in pdf_iter:
+        # concatenate Arrow chunks first: the deterministic order below
+        # must span the WHOLE delivered batch, not each chunk separately
+        # (maxRecordsPerBatch can split one trace's rows across chunks)
+        chunks = [c for c in pdf_iter if len(c)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
             # the batch kernel's deterministic order (B-tree scan parity):
             # fix order, then (time, tile_x, tile_y, tripline_id)
             pdf = pdf.sort_values(
