@@ -56,6 +56,50 @@ def test_knn_yardstick_matches_scale_twin(spark):
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_knn_cells_exact_with_scarce_stations(spark):
+    """The escalation's brute-fallback branch: fewer stations than k means
+    no ring can ever satisfy a point, so the residual must fall through to
+    the broadcast brute refine (max_ring exceeded) and still match the
+    brute join exactly — including emitting fewer than k rows per point."""
+    import pandas as pd
+
+    from traffic_engine_spark.operators import spatial
+
+    pts = pd.DataFrame({
+        "point_id": range(40),
+        "lat": [37.0 + i * 0.01 for i in range(40)],
+        "lon": [-122.0 - i * 0.01 for i in range(40)],
+    })
+    stations = pd.DataFrame({
+        "station_id": [0, 1],
+        "lat": [37.05, 38.5],
+        "lon": [-122.05, -121.0],
+    })
+    p, s = spark.createDataFrame(pts), spark.createDataFrame(stations)
+    cells = spatial.knn_join_cells(
+        p, s, zoom=12, ring=1, k=3, max_ring=4
+    ).toPandas()
+    brute = spatial.knn_join_broadcast(p, s, k=3).toPandas()
+    cols = sorted(brute.columns)
+    a = brute[cols].sort_values(cols).reset_index(drop=True)
+    b = cells[cols].sort_values(cols).reset_index(drop=True)
+    assert len(a) == 80  # 40 points x 2 stations (k=3 capped by supply)
+    pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()))
+
+
+def test_knn_cells_empty_points(spark):
+    """Empty input: schema-preserving no-op through the escalation loop."""
+    from traffic_engine_spark.operators import spatial
+
+    p = spark.createDataFrame([], "point_id long, lat double, lon double")
+    s = spark.createDataFrame(
+        [(1, 37.0, -122.0)], "station_id long, lat double, lon double"
+    )
+    out = spatial.knn_join_cells(p, s, zoom=12, k=3)
+    assert out.count() == 0
+    assert set(out.columns) == {"point_id", "rank", "station_id", "dist2"}
+
+
 def test_rollup_yardstick_consistent_with_twin(spark):
     # rollup_agg is the plain grouped aggregate; rollup_weeks the
     # cumulative form — the per-group totals must agree
