@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""The always-on streaming deployment (SURVEY §2.8, planet mode): the
+reference's continuously-running stateful processor as a two-query
+Structured Streaming medallion — no O(network) driver state anywhere.
+
+    sh tools/package_pyfiles.sh
+    # query 1 — bronze -> silver (pairing kernel + declarative J1/J2)
+    spark-submit --py-files dist/traffic_engine_spark.zip \
+        --conf spark.sql.adaptive.enabled=false \
+        examples/streaming_job.py --stage crossings \
+        --fixes    s3://bucket/fixes_stream/      \  # (image_id, trace_id, ts, lat, lon)
+        --network  s3://bucket/out/               \  # pipeline_job.py's segments/triplines
+        --silver   s3://bucket/silver/crossings/  \
+        --checkpoint s3://bucket/ck/q1
+    # query 2 — silver -> gold (crossing kernel + declarative J4 + store merge)
+    spark-submit --py-files dist/traffic_engine_spark.zip \
+        examples/streaming_job.py --stage samples \
+        --silver   s3://bucket/silver/crossings/  \
+        --network  s3://bucket/out/               \
+        --store    s3://bucket/stores/histograms  \
+        --checkpoint s3://bucket/ck/q2
+
+Two queries are REQUIRED (Spark rejects chained applyInPandasWithState);
+the silver crossing log is the hand-off — parquet here, Kafka/Delta in a
+real deployment (`.format(...)` is the only change).  The per-query
+GroupStates together are exactly the reference's Vehicle fields
+(Vehicle.java:29-39); the 5-minute processing-time TTL is W4.  The gold
+sink MERGE-accumulates per-microbatch histogram increments with the
+microbatch id as the idempotency key, so at-least-once redelivery after a
+crash never double-counts (sources/store.merge_sum(op_id=...)).
+
+Optionally front query 1 with `--anonymity-gate`: a third (bronze) query
+running the per-tile RELEASE gate (W3) into a gated-fixes table, and point
+--fixes at that table instead.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--stage", choices=["crossings", "samples", "gate"], required=True)
+    ap.add_argument("--fixes", help="fix stream source (stage=crossings|gate)")
+    ap.add_argument("--network", help="pipeline_job.py output root (segments/, triplines/)")
+    ap.add_argument("--silver", help="silver crossing log path")
+    ap.add_argument("--gated", help="gated-fixes output (stage=gate)")
+    ap.add_argument("--store", help="histogram SnapshotStore root (stage=samples)")
+    ap.add_argument("--checkpoint", required=True)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from traffic_engine_spark.streaming.match_stream import (
+        CROSSING_SCHEMA,
+        gate_fixes_stream,
+        histograms_to_store_sink,
+        jumper_samples_stream,
+        stream_crossings,
+    )
+
+    spark = SparkSession.builder.appName(f"traffic_stream_{args.stage}").getOrCreate()
+    fix_schema = "image_id string, trace_id long, ts long, lat double, lon double"
+
+    if args.stage == "gate":
+        q = (
+            gate_fixes_stream(spark.readStream.schema(fix_schema).parquet(args.fixes))
+            .writeStream.format("parquet").option("path", args.gated)
+            .option("checkpointLocation", args.checkpoint)
+            .outputMode("append").start()
+        )
+    elif args.stage == "crossings":
+        tls = spark.read.parquet(f"{args.network}/triplines")
+        q = (
+            stream_crossings(
+                spark.readStream.schema(fix_schema).parquet(args.fixes), tls
+            )
+            .writeStream.format("parquet").option("path", args.silver)
+            .option("checkpointLocation", args.checkpoint)
+            .outputMode("append").start()
+        )
+    else:  # samples
+        from traffic_engine_spark.sources.store import SnapshotStore
+
+        segs = spark.read.parquet(f"{args.network}/segments")
+        # jumpers as a Spark relation (planet shape): rebuild the sharded
+        # fold from the stored segments — or read a persisted jumper table
+        from traffic_engine_spark.plans.network import build_jumpers_sharded
+
+        jumpers = build_jumpers_sharded(spark, segs)
+        store = SnapshotStore(
+            spark, args.store,
+            key_cols=["segment_id", "week", "hour_of_week", "speed_bin"],
+        )
+        q = (
+            jumper_samples_stream(
+                spark,
+                spark.readStream.schema(CROSSING_SCHEMA).parquet(args.silver),
+                segs,
+                jumpers,
+            )
+            .writeStream.foreachBatch(histograms_to_store_sink(store))
+            .option("checkpointLocation", args.checkpoint)
+            .outputMode("append").start()
+        )
+
+    q.awaitTermination()
+
+
+if __name__ == "__main__":
+    main()
