@@ -87,6 +87,44 @@ def test_knn_cells_exact_with_scarce_stations(spark):
     pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()))
 
 
+def test_knn_cells_randomized_exactness(spark):
+    """Seeded randomized adversarial check of the guaranteed-radius
+    escalation: clustered / uniform / high-latitude / station-starved
+    layouts must all decode EXACTLY as the brute join — the conservative
+    Mercator bound may only cost extra rounds, never a wrong neighbour."""
+    import numpy as np
+    import pandas as pd
+
+    from traffic_engine_spark.operators import spatial
+
+    rng = np.random.RandomState(7)
+    layouts = [
+        # (point gen, station gen, zoom, k)
+        (lambda: (rng.randn(120, 2) * 0.002 + [37.5, -122.3]),
+         lambda: (rng.randn(25, 2) * 0.002 + [37.5, -122.3]), 14, 3),
+        (lambda: np.column_stack([rng.uniform(36, 38, 150), rng.uniform(-123, -121, 150)]),
+         lambda: np.column_stack([rng.uniform(36, 38, 10), rng.uniform(-123, -121, 10)]), 12, 4),
+        # high latitude: the cos(lat) row-height bound is at its weakest
+        (lambda: np.column_stack([rng.uniform(69.0, 69.5, 80), rng.uniform(18, 20, 80)]),
+         lambda: np.column_stack([rng.uniform(69.0, 69.5, 12), rng.uniform(18, 20, 12)]), 13, 3),
+        # station-starved: forces escalation and the supply cap
+        (lambda: np.column_stack([rng.uniform(37, 37.2, 60), rng.uniform(-122.2, -122.0, 60)]),
+         lambda: np.column_stack([rng.uniform(37, 37.2, 4), rng.uniform(-122.2, -122.0, 4)]), 15, 5),
+    ]
+    for i, (pg, sg, zoom, k) in enumerate(layouts):
+        P, S = pg(), sg()
+        p = spark.createDataFrame(pd.DataFrame(
+            {"point_id": range(len(P)), "lat": P[:, 0], "lon": P[:, 1]}))
+        s = spark.createDataFrame(pd.DataFrame(
+            {"station_id": range(len(S)), "lat": S[:, 0], "lon": S[:, 1]}))
+        cells = spatial.knn_join_cells(p, s, zoom=zoom, ring=1, k=k, max_ring=16).toPandas()
+        brute = spatial.knn_join_broadcast(p, s, k=k).toPandas()
+        cols = sorted(brute.columns)
+        a = brute[cols].sort_values(cols).reset_index(drop=True)
+        b = cells[cols].sort_values(cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()), obj=f"layout {i}")
+
+
 def test_knn_cells_empty_points(spark):
     """Empty input: schema-preserving no-op through the escalation loop."""
     from traffic_engine_spark.operators import spatial
