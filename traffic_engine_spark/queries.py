@@ -151,6 +151,7 @@ YARDSTICKS: dict[str, tuple] = {}
 
 YARDSTICK_TWINS = {
     "knn_join": "knn_join_cells",
+    "dedup_embedding_ivf": "dedup_embedding_lsh",
     "ann_topk": "ann_lsh_topk",
     "ann_lsh_buckets": "ann_lsh_topk",
     "dedup_embedding_cosine": "dedup_embedding_lsh",
@@ -1518,6 +1519,44 @@ def ann_ivf_assign(spark, sf_dir):
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cv")
     )
     return ann.ivf_assign(emb, centroids)
+
+
+@yq(
+    "dedup_embedding_ivf",
+    """
+WITH c AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv
+           FROM embeddings WHERE vec_id < 16),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+cscored AS (
+  SELECT v.vec_id, c.centroid_id,
+         row_number() OVER (PARTITION BY v.vec_id
+                            ORDER BY list_dot_product(v.emb, c.cv)
+                                     / (sqrt(list_dot_product(v.emb, v.emb))
+                                        * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                                     c.centroid_id) AS rn
+  FROM v CROSS JOIN c),
+cells AS (SELECT vec_id, centroid_id FROM cscored WHERE rn <= 3),
+cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM cells a JOIN cells b ON a.centroid_id = b.centroid_id
+                                  AND a.vec_id < b.vec_id)
+SELECT id_a, id_b,
+       round(list_dot_product(a.emb, b.emb)
+             / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 6) AS cosine
+FROM cand JOIN v a ON a.vec_id = id_a JOIN v b ON b.vec_id = id_b
+WHERE round(list_dot_product(a.emb, b.emb)
+            / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 6) >= 0.3
+""",
+)
+def dedup_embedding_ivf(spark, sf_dir):
+    """IVF-blocked cosine near-dup (content-blocked cells, top-3
+    multi-assignment, exact verify) — pytest-only yardstick family member
+    of the registered `dedup_embedding_lsh` (registry stays at the
+    driver's 50-entry cap); gated by tools/check_oracle.py --yardsticks."""
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cv")
+    )
+    return dedup.embedding_ivf_pairs(emb, centroids, min_cosine=0.3, assign_top=3)
 
 
 _IVF_CTE = """
