@@ -665,6 +665,57 @@ def test_embedding_lsh_recall_vs_brute(spark):
     assert recall >= 0.5, f"LSH recall {recall:.2f} too low for 8 planes"
 
 
+def test_bucketed_join_is_exchange_free(spark, spark_network, images_pd, tmp_path):
+    """Co-located layout: samples and the segment dim bucketed by
+    segment_id with equal bucket counts must JOIN and AGGREGATE with ZERO
+    Exchange operators in the executed plan (broadcast disabled so the
+    bucket layout, not BHJ, elides the shuffle) — and values must match
+    the plain-join results exactly."""
+    from traffic_engine_spark.sources.bucketed import read_bucketed, write_bucketed
+
+    segs, tls, jumpers_pd = spark_network
+    images = spark.createDataFrame(images_pd)
+    _, samples = M.run_pipeline(spark, images, tls, segs, jumpers_pd)
+    # explicit paths → external tables; the (static) warehouse dir is
+    # never written to
+    write_bucketed(samples, "b_samples", ["segment_id"], num_buckets=8,
+                   sort_cols=["segment_id"], path=str(tmp_path / "b_samples"))
+    write_bucketed(
+        segs.select("segment_id", "length_m", "street_type"),
+        "b_segs", ["segment_id"], num_buckets=8,
+        sort_cols=["segment_id"], path=str(tmp_path / "b_segs"),
+    )
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        bs, bg = read_bucketed(spark, "b_samples"), read_bucketed(spark, "b_segs")
+        joined = bs.join(bg, "segment_id").groupBy("street_type").agg(
+            F.count(F.lit(1)).alias("n"), F.round(F.avg("speed"), 9).alias("avg_speed")
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # ONE exchange allowed: the final tiny groupBy(street_type); the
+        # join itself and the per-segment partial agg must be bucket-local
+        assert plan.count("Exchange") <= 1, plan
+        join_part = plan.split("HashAggregate")[-1]
+        assert "Exchange" not in join_part  # nothing below the agg shuffles
+        got = joined.toPandas().sort_values("street_type").reset_index(drop=True)
+        want = (
+            samples.join(segs.select("segment_id", "length_m", "street_type"), "segment_id")
+            .groupBy("street_type")
+            .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("speed"), 9).alias("avg_speed"))
+            .toPandas().sort_values("street_type").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want[got.columns], check_exact=True)
+        # pure per-key rollup: zero exchanges end-to-end
+        rollup = bs.groupBy("segment_id").agg(F.count(F.lit(1)).alias("n"))
+        rplan = rollup._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in rplan, rplan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+        spark.sql("DROP TABLE IF EXISTS b_samples")
+        spark.sql("DROP TABLE IF EXISTS b_segs")
+
+
 def test_embedding_ivf_pairs_subset_of_brute(spark):
     """The IVF-blocked cosine path (content-blocked alternative to the
     adaptive LSH bands): candidates ⊆ brute with identical cosines and
