@@ -665,6 +665,50 @@ def test_embedding_lsh_recall_vs_brute(spark):
     assert recall >= 0.5, f"LSH recall {recall:.2f} too low for 8 planes"
 
 
+def test_morton_layout_prunes_scan(spark, tmp_path):
+    """Spatial file-skipping: data written in Morton range-partition order
+    + an int-typed cell-range predicate must push the bounds into the
+    parquet scan (PushedFilters) and skip most row groups (scan
+    numOutputRows << table rows).  Also pins the cast trap: FLOAT bounds
+    on the long column defeat pushdown entirely (only IsNotNull survives),
+    which would silently read the whole table at 100 TB."""
+    import re
+
+    from traffic_engine_spark.plans.skew import repartition_by_morton
+    from traffic_engine_spark.queries import _points
+
+    ev = _points(spark, "/root/testdata/sf0.01").select("event_id", "lat", "lon")
+    out = str(tmp_path / "morton")
+    repartition_by_morton(ev, num_partitions=16).write.parquet(out)
+    back = spark.read.parquet(out)
+    total = back.count()
+    flo, fhi = back.approxQuantile("_morton", [0.4, 0.45], 0.01)
+    lo, hi = int(flo), int(fhi)
+
+    q = back.filter((F.col("_morton") >= lo) & (F.col("_morton") <= hi))
+    rows = q.collect()
+    plan = q._jdf.queryExecution().executedPlan()
+    pushed = re.search(r"PushedFilters: \[[^\]]*\]", plan.toString()).group(0)
+    assert "GreaterThanOrEqual(_morton" in pushed and "LessThanOrEqual(_morton" in pushed
+    scan = plan.collectLeaves().head()
+    it = scan.metrics().iterator()
+    vals = {}
+    while it.hasNext():
+        kv = it.next()
+        vals[kv._1()] = kv._2().value()
+    assert 0 < len(rows) <= vals["numOutputRows"]
+    # the Morton-sorted layout lets min/max stats skip most row groups
+    assert vals["numOutputRows"] <= total * 0.3, (vals["numOutputRows"], total)
+
+    # the trap: float literals force a cast on the long column — the range
+    # no longer reaches the scan
+    qf = back.filter((F.col("_morton") >= flo) & (F.col("_morton") <= fhi))
+    pf = re.search(
+        r"PushedFilters: \[[^\]]*\]", qf._jdf.queryExecution().executedPlan().toString()
+    ).group(0)
+    assert "GreaterThanOrEqual(_morton" not in pf
+
+
 def test_bucketed_join_is_exchange_free(spark, spark_network, images_pd, tmp_path):
     """Co-located layout: samples and the segment dim bucketed by
     segment_id with equal bucket counts must JOIN and AGGREGATE with ZERO
