@@ -1,0 +1,132 @@
+#!/usr/bin/env python
+"""Streaming-medallion throughput at bench scale: the two planet queries
+(pairing kernel + declarative J1/J2 → silver; crossing kernel +
+declarative J4 → samples) over the ~0.83M-row bench fix set, availableNow.
+
+    python tools/stream_bench.py [--traces 8000] [--batches 4]
+
+Prints ONE JSON line: per-query wall, rows, rows/sec.  `--batches`
+splits the input into that many time-ordered files consumed one per
+trigger (state round-trips between microbatches, the continuous-operation
+shape); 1 = a single catch-up batch.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BENCH_DIR = os.environ.get("SPARK_GRAFT_BENCH_DIR", "/root/repo/.bench_data")
+
+
+def drain(spark, q, timeout=600):
+    t0 = time.time()
+    while q.isActive and time.time() - t0 < timeout:
+        p = q.recentProgress
+        if len(p) >= 2 and all(x["numInputRows"] == 0 for x in p[-2:]):
+            break
+        time.sleep(0.5)
+    q.stop()
+
+
+def main():
+    traces = 8000
+    if "--traces" in sys.argv:
+        traces = int(sys.argv[sys.argv.index("--traces") + 1])
+    batches = 4
+    if "--batches" in sys.argv:
+        batches = int(sys.argv[sys.argv.index("--batches") + 1])
+
+    from traffic_engine_spark import get_spark
+    from traffic_engine_spark.datagen.bench_data import bench_network, ensure_bench_images
+    from traffic_engine_spark.plans import match as M
+    from traffic_engine_spark.plans import network as N
+    from traffic_engine_spark.streaming.match_stream import (
+        CROSSING_SCHEMA,
+        jumper_samples_stream,
+        stream_crossings,
+    )
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark(app_name="stream-bench", cores=cpus, shuffle_partitions=cpus)
+    ensure_bench_images(spark, os.path.join(BENCH_DIR, f"images_{traces}"), n_traces=traces)
+    images = spark.read.parquet(os.path.join(BENCH_DIR, f"images_{traces}"))
+    ways, nodes = bench_network(spark)
+    segs, tls, jumpers = N.build_network_tables(spark, ways, nodes)
+    segs, tls = segs.localCheckpoint(), tls.localCheckpoint()
+    # python worker warmup (same as bench.py)
+    spark.range(1000, numPartitions=cpus).mapInPandas(lambda it: it, schema="id long").count()
+
+    d = tempfile.mkdtemp(prefix="stream_bench_")
+    try:
+        fixes_pd = M.decode_fixes(images).toPandas()
+        n_fixes = len(fixes_pd)
+        src = os.path.join(d, "src")
+        os.makedirs(src)
+        if batches <= 1:
+            import pandas as _pd  # noqa: F401
+
+            fixes_pd.to_parquet(os.path.join(src, "all.parquet"), index=False)
+        else:
+            cuts = fixes_pd["ts"].quantile(
+                [i / batches for i in range(1, batches)]
+            ).tolist()
+            bounds = [-float("inf")] + cuts + [float("inf")]
+            for i, (lo, hi) in enumerate(zip(bounds, bounds[1:])):
+                p = os.path.join(src, f"slice_{i:03d}.parquet")
+                fixes_pd[(fixes_pd.ts > lo) & (fixes_pd.ts <= hi)].to_parquet(p, index=False)
+                os.utime(p, (1_000_000 + i, 1_000_000 + i))
+        silver = os.path.join(d, "silver")
+        reader = spark.readStream.schema(
+            "image_id string, trace_id long, ts long, lat double, lon double"
+        )
+        if batches > 1:
+            reader = reader.option("maxFilesPerTrigger", 1)
+        t0 = time.time()
+        q1 = (
+            stream_crossings(reader.parquet(src), tls)
+            .writeStream.format("parquet").option("path", silver)
+            .option("checkpointLocation", os.path.join(d, "ck1"))
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        drain(spark, q1)
+        q1_wall = round(time.time() - t0, 3)
+        n_cross = spark.read.parquet(silver).count()
+
+        cr = spark.readStream.schema(CROSSING_SCHEMA)
+        if batches > 1:
+            # one q1 microbatch writes ~cpus part files; consume a
+            # batch-equivalent per trigger
+            cr = cr.option("maxFilesPerTrigger", cpus)
+        t0 = time.time()
+        q2 = (
+            jumper_samples_stream(spark, cr.parquet(silver), segs, jumpers)
+            .writeStream.format("parquet").option("path", os.path.join(d, "gold"))
+            .option("checkpointLocation", os.path.join(d, "ck2"))
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        drain(spark, q2)
+        q2_wall = round(time.time() - t0, 3)
+        n_samples = spark.read.parquet(os.path.join(d, "gold")).count()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    spark.stop()
+    print(json.dumps({
+        "metric": "streaming medallion throughput (fixes -> crossings -> samples)",
+        "fixes": n_fixes, "batches": batches,
+        "q1_crossings_wall_sec": q1_wall, "crossings": n_cross,
+        "q1_fixes_per_sec": int(n_fixes / q1_wall),
+        "q2_samples_wall_sec": q2_wall, "samples": n_samples,
+        "end_to_end_fixes_per_sec": int(n_fixes / (q1_wall + q2_wall)),
+        "cpus": cpus,
+    }))
+
+
+if __name__ == "__main__":
+    main()
