@@ -49,11 +49,20 @@ def main():
     ap.add_argument("--store", help="histogram SnapshotStore root (stage=samples)")
     ap.add_argument("--checkpoint", required=True)
     args = ap.parse_args()
+    required = {
+        "gate": ["fixes", "gated"],
+        "crossings": ["fixes", "network", "silver"],
+        "samples": ["silver", "network", "store"],
+    }[args.stage]
+    missing = [f"--{a}" for a in required if getattr(args, a) is None]
+    if missing:
+        ap.error(f"--stage {args.stage} requires {' '.join(missing)}")
 
     from pyspark.sql import SparkSession
 
     from traffic_engine_spark.streaming.match_stream import (
         CROSSING_SCHEMA,
+        FIX_SCHEMA,
         gate_fixes_stream,
         histograms_to_store_sink,
         jumper_samples_stream,
@@ -61,7 +70,7 @@ def main():
     )
 
     spark = SparkSession.builder.appName(f"traffic_stream_{args.stage}").getOrCreate()
-    fix_schema = "image_id string, trace_id long, ts long, lat double, lon double"
+    fix_schema = FIX_SCHEMA
 
     if args.stage == "gate":
         q = (

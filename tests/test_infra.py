@@ -147,6 +147,7 @@ def _run_stream(spark, spark_network, images_pd, qname, n_slices=1, expected_row
 
     from traffic_engine_spark.streaming.match_stream import (
         CROSSING_SCHEMA,
+        FIX_SCHEMA,
         jumper_samples_stream,
         stream_crossings,
     )
@@ -171,9 +172,7 @@ def _run_stream(spark, spark_network, images_pd, qname, n_slices=1, expected_row
                 part.to_parquet(path, index=False)
                 # FileStreamSource orders by mod time: make it match slice order
                 os.utime(path, (1_000_000 + i, 1_000_000 + i))
-        reader = spark.readStream.schema(
-            "image_id string, trace_id long, ts long, lat double, lon double"
-        )
+        reader = spark.readStream.schema(FIX_SCHEMA)
         if n_slices > 1:
             # one time-slice file per microbatch ⇒ state must round-trip
             reader = reader.option("maxFilesPerTrigger", 1)

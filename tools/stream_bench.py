@@ -25,13 +25,23 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 BENCH_DIR = os.environ.get("SPARK_GRAFT_BENCH_DIR", "/root/repo/.bench_data")
 
 
-def drain(spark, q, timeout=600):
+def drain(q, done, timeout=600):
+    """Drain an availableNow query: stateful queries with processing-time
+    timeouts never self-terminate, so poll until ``done()`` (the output
+    has everything) AND the last batch was idle; raise on query failure
+    or timeout instead of silently reporting partial counts."""
     t0 = time.time()
     while q.isActive and time.time() - t0 < timeout:
         p = q.recentProgress
-        if len(p) >= 2 and all(x["numInputRows"] == 0 for x in p[-2:]):
+        if p and p[-1]["numInputRows"] == 0 and done():
             break
         time.sleep(0.5)
+    else:
+        if q.isActive:
+            q.stop()
+            raise TimeoutError(f"stream bench query did not drain in {timeout}s")
+    if q.exception() is not None:
+        raise RuntimeError(f"stream bench query failed: {q.exception()}")
     q.stop()
 
 
@@ -49,6 +59,7 @@ def main():
     from traffic_engine_spark.plans import network as N
     from traffic_engine_spark.streaming.match_stream import (
         CROSSING_SCHEMA,
+        FIX_SCHEMA,
         jumper_samples_stream,
         stream_crossings,
     )
@@ -70,8 +81,6 @@ def main():
         src = os.path.join(d, "src")
         os.makedirs(src)
         if batches <= 1:
-            import pandas as _pd  # noqa: F401
-
             fixes_pd.to_parquet(os.path.join(src, "all.parquet"), index=False)
         else:
             cuts = fixes_pd["ts"].quantile(
@@ -83,9 +92,7 @@ def main():
                 fixes_pd[(fixes_pd.ts > lo) & (fixes_pd.ts <= hi)].to_parquet(p, index=False)
                 os.utime(p, (1_000_000 + i, 1_000_000 + i))
         silver = os.path.join(d, "silver")
-        reader = spark.readStream.schema(
-            "image_id string, trace_id long, ts long, lat double, lon double"
-        )
+        reader = spark.readStream.schema(FIX_SCHEMA)
         if batches > 1:
             reader = reader.option("maxFilesPerTrigger", 1)
         t0 = time.time()
@@ -95,7 +102,11 @@ def main():
             .option("checkpointLocation", os.path.join(d, "ck1"))
             .outputMode("append").trigger(availableNow=True).start()
         )
-        drain(spark, q1)
+        def q1_done():
+            # all fix rows consumed: sum of input rows across progress
+            return sum(p["numInputRows"] for p in q1.recentProgress) >= n_fixes
+
+        drain(q1, q1_done)
         q1_wall = round(time.time() - t0, 3)
         n_cross = spark.read.parquet(silver).count()
 
@@ -111,7 +122,10 @@ def main():
             .option("checkpointLocation", os.path.join(d, "ck2"))
             .outputMode("append").trigger(availableNow=True).start()
         )
-        drain(spark, q2)
+        def q2_done():
+            return sum(p["numInputRows"] for p in q2.recentProgress) >= n_cross
+
+        drain(q2, q2_done)
         q2_wall = round(time.time() - t0, 3)
         n_samples = spark.read.parquet(os.path.join(d, "gold")).count()
     finally:

@@ -62,6 +62,11 @@ from ..config import (
     EngineConfig,
 )
 
+# the fix-source DDL every entry point reads with (decode_fixes' output
+# shape) — lives here, next to CROSSING_SCHEMA, so examples/tools/tests
+# cannot drift from the kernels
+FIX_SCHEMA = "image_id string, trace_id long, ts long, lat double, lon double"
+
 STREAM_SAMPLE_SCHEMA = T.StructType(
     [
         T.StructField("trace_id", T.LongType(), False),
