@@ -103,6 +103,29 @@ def main():
     _, s_warm = M.run_pipeline(spark, images.limit(5000), tls, segs, jumpers)
     s_warm.count()
 
+    # --- Viterbi/HMM map matching (the north rule's named kernel) ---------
+    # measured BEFORE the pipeline entries: the first full-size run after
+    # two full pipeline passes was reproducibly ~1.5-2 s slower than
+    # steady state (JVM GC / code-cache churn from the preceding jobs —
+    # repeats settle at ~5.4 s); its own sliver warm-up covers the codegen
+    # units (the viterbi plan shares none with the pipeline)
+    from traffic_engine_spark.plans import hmm
+
+    hmm.viterbi_match(M.decode_fixes(images.limit(5000)), segs).count()
+    t0 = time.time()
+    n_vit = hmm.viterbi_match(M.decode_fixes(images), segs).count()
+    timings["viterbi_match"] = round(time.time() - t0, 3)
+    log(f"viterbi: {n_vit} matched fixes in {timings['viterbi_match']}s")
+    # steady state: the FIRST full-size run reproducibly pays ~1.5-2 s of
+    # size-proportional session warm-up that no sliver reaches (measured:
+    # 7.2 s first, 5.3-5.8 s repeats, clean session).  timings keeps the
+    # first-run number (comparable with earlier rounds); the steady figure
+    # is reported separately and does NOT sum into the headline total.
+    t0 = time.time()
+    hmm.viterbi_match(M.decode_fixes(images), segs).count()
+    viterbi_steady = round(time.time() - t0, 3)
+    log(f"viterbi steady-state repeat: {viterbi_steady}s")
+
     # --- HEADLINE: spatial-join pipeline (decode→pair→join→refine→kernel→hist)
     t0 = time.time()
     crossings, samples = M.run_pipeline(spark, images, tls, segs, jumpers)
@@ -122,14 +145,6 @@ def main():
     n_hist_p = S.histograms(samples_p).count()
     timings["traffic_pipeline_dict"] = round(time.time() - t0, 3)
     log(f"pipeline(dict A/B): {n_hist_p} hist rows in {timings['traffic_pipeline_dict']}s")
-
-    # --- Viterbi/HMM map matching (the north rule's named kernel) ---------
-    from traffic_engine_spark.plans import hmm
-
-    t0 = time.time()
-    n_vit = hmm.viterbi_match(M.decode_fixes(images), segs).count()
-    timings["viterbi_match"] = round(time.time() - t0, 3)
-    log(f"viterbi: {n_vit} matched fixes in {timings['viterbi_match']}s")
 
     # --- HEADLINE: tile assignment over every image row -------------------
     t0 = time.time()
@@ -210,6 +225,7 @@ def main():
         "pipeline_rows": n_images,
         "cpus": cpus,
         "lsh_candidate_growth": growth,
+        "viterbi_steady_sec": viterbi_steady,
     }
     spark.stop()
     # keep the on-disk registry manifest fresh (tested by
