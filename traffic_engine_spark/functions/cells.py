@@ -27,7 +27,7 @@ import numpy as np
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from ..config import Z_AREA, Z_ITEM
+from ..config import Z_ITEM
 
 # ---------------------------------------------------------------------------
 # slippy tile math — exact reference parity

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import hash64, normalize, shingles_from_tokens, word_shingles, ws_tokens
+from ..functions.text import hash64, shingles_from_tokens, ws_tokens
 from ..functions.vectors import cosine, hyperplane_bucket
 
 

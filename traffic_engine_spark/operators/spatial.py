@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.cells import cell_of_col, grid_disk_offsets, pack_xy, tile_x_col, tile_y_col
+from ..functions.cells import grid_disk_offsets, pack_xy, tile_x_col, tile_y_col
 
 
 def equirect_dist2(lat_a, lon_a, lat_b, lon_b):

@@ -38,7 +38,6 @@ from ..functions.geodesy import (
     geo_destination_point,
     geo_distance_m,
     planar_lengths,
-    polyline_length_m,
 )
 from ..functions.ids import segment_id_py, tripline_id_py
 

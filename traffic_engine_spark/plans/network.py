@@ -43,7 +43,7 @@ from ..functions.geodesy import (
     planar_lengths,
 )
 from ..functions.ids import segment_id_py, tripline_id_py
-from ..oracle.pyoracle import Jumper, add_jumper, is_oneway, is_traffic_edge, street_type_of
+from ..oracle.pyoracle import Jumper, add_jumper, is_oneway, street_type_of
 
 SEGMENT_SCHEMA = T.StructType(
     [

@@ -12,7 +12,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..config import EngineConfig
 from ..functions.binning import bin_mean_col, hour_of_week_col, speed_bin_col, week_col
 
 

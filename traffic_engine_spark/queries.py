@@ -32,11 +32,9 @@ from .functions.text import (
     TOKEN_RE,
     avg_token_len,
     fingerprint,
-    hash64,
     n_tokens_bpe,
     n_tokens_ws,
     punct_ratio,
-    quality_score,
     stopword_ratio,
     ws_tokens,
 )
