@@ -247,6 +247,65 @@ def test_streaming_kernel_tiny_arrow_batches(spark, spark_network, images_pd):
     _assert_samples_equal(batch, got)
 
 
+def test_streaming_checkpoint_resume_no_duplicates(spark, spark_network, images_pd, tmp_path):
+    """North-rule resumability on the STREAMING path: kill query 1
+    mid-stream (after the first microbatch commits) and restart from the
+    same checkpoint — the silver crossing log must end up exactly equal to
+    the batch crossings, no rows lost, none duplicated (file-sink
+    exactly-once via the checkpointed offset/commit log)."""
+    from traffic_engine_spark.streaming.match_stream import FIX_SCHEMA, stream_crossings
+
+    segs, tls, jumpers_pd = spark_network
+    fixes_pd = M.decode_fixes(spark.createDataFrame(images_pd)).toPandas()
+    want = M.find_crossings(
+        M.pair_fixes(M.decode_fixes(spark.createDataFrame(images_pd))),
+        M.tripline_cell_index(tls),
+    ).toPandas()
+
+    src = str(tmp_path / "src"); os.makedirs(src)
+    n_slices = 4
+    cuts = fixes_pd["ts"].quantile([i / n_slices for i in range(1, n_slices)]).tolist()
+    bounds = [-float("inf")] + cuts + [float("inf")]
+    for i, (lo, hi) in enumerate(zip(bounds, bounds[1:])):
+        p = os.path.join(src, f"slice_{i:03d}.parquet")
+        fixes_pd[(fixes_pd.ts > lo) & (fixes_pd.ts <= hi)].to_parquet(p, index=False)
+        os.utime(p, (1_000_000 + i, 1_000_000 + i))
+    silver, ck = str(tmp_path / "silver"), str(tmp_path / "ck")
+
+    def start():
+        return (
+            stream_crossings(
+                spark.readStream.schema(FIX_SCHEMA)
+                .option("maxFilesPerTrigger", 1).parquet(src),
+                tls,
+            )
+            .writeStream.format("parquet").option("path", silver)
+            .option("checkpointLocation", ck)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+
+    import time as _time
+
+    q = start()
+    deadline = _time.time() + 120
+    while _time.time() < deadline:
+        if [p for p in q.recentProgress if p["numInputRows"] > 0]:
+            break  # at least one data microbatch committed
+        _time.sleep(0.2)
+    q.stop()  # crash mid-stream
+    q2 = start()  # resume from the same checkpoint
+    _poll_stream(spark, q2)
+    got = spark.read.parquet(silver).toPandas()
+    key = list(want.columns)
+    # seq is int32 in the batch plan vs long in the silver DDL — values
+    # are what matter
+    pd.testing.assert_frame_equal(
+        want[key].sort_values(key).reset_index(drop=True),
+        got[key].sort_values(key).reset_index(drop=True).astype(want.dtypes.to_dict()),
+        check_exact=True,
+    )
+
+
 def test_streaming_offmap_matches_batch(spark, spark_network, images_pd):
     """S9 on the stream (medallion wiring): off-map traces derived from the
     multi-microbatch streamed samples must equal the batch plan's rows
