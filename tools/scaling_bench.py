@@ -130,12 +130,17 @@ def main():
 
     if "--executors" in sys.argv:
         # Multi-executor weak scaling: N=1 executor (2 pinned cores) on D
-        # traces vs 4N=4 executor PROCESSES (2 pinned cores each, disjoint
-        # core sets, own JVMs) on 4 disjoint D-trace slices — exactly the
+        # traces vs K executor PROCESSES (2 pinned cores each, disjoint
+        # core sets, own JVMs) on K disjoint D-trace slices — exactly the
         # "N and 4N executors" cluster shape (spark-submit deploys
         # executors as separate JVMs; a single local[8] JVM under-reports
         # scaling because GC/locks are shared).  Weak efficiency =
-        # T_1exec(D) / max_i T_i(D).
+        # T_1exec(D) / max_i T_i(D).  K defaults to 4; --nexec 8 extends
+        # the evidence to a third cluster size (16 pinned cores).
+        nexec = 4
+        if "--nexec" in sys.argv:
+            nexec = int(sys.argv[sys.argv.index("--nexec") + 1])
+        assert 2 * nexec <= os.cpu_count(), "not enough cores to pin"
         repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         d = traces // 4
 
@@ -145,8 +150,8 @@ def main():
                    "--offset", str(offset)]
             return subprocess.Popen(cmd, stdout=subprocess.PIPE, text=True, cwd=repo)
 
-        # pre-generate all four slices (cached)
-        for i in range(4):
+        # pre-generate all slices (cached)
+        for i in range(nexec):
             subprocess.run(
                 [sys.executable, "-c",
                  "import sys; sys.path.insert(0, %r);"
@@ -161,13 +166,14 @@ def main():
             subprocess.run(["taskset", "-c", "0-1", sys.executable, __file__,
                             "--child", "2", "--traces", str(d)],
                            capture_output=True, text=True, cwd=repo).stdout.strip().splitlines()[-1])
-        procs = [spawn(i * 2, i * 2 + 1, i * d) for i in range(4)]
+        procs = [spawn(i * 2, i * 2 + 1, i * d) for i in range(nexec)]
         outs = [json.loads(p.communicate()[0].strip().splitlines()[-1]) for p in procs]
         slowest = max(o["wall_sec"] for o in outs)
         weak = single["wall_sec"] / slowest
         agg_rows = sum(o["rows"] for o in outs)
         print(json.dumps({
-            "protocol": "1 executor (2 cores) on D vs 4 executor JVMs (2 cores each, disjoint pins) on 4 disjoint D slices",
+            "protocol": f"1 executor (2 cores) on D vs {nexec} executor JVMs (2 cores each, disjoint pins) on {nexec} disjoint D slices",
+            "n_executors": nexec,
             "single_executor": single,
             "executors_4x": outs,
             "weak_scaling_efficiency": round(weak, 3),
