@@ -94,11 +94,21 @@ def knn_join_cells(
     )
 
     def _offsets(r: int):
-        return F.array(
-            *[
-                F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
-                for dx, dy in grid_disk_offsets(r)
-            ]
+        if r <= 8:  # (2r+1)^2 <= 289 literals: codegen-friendly
+            return F.array(
+                *[
+                    F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                    for dx, dy in grid_disk_offsets(r)
+                ]
+            )
+        # escalated rings: a literal array would hold (2r+1)^2 struct
+        # literals (16k expression nodes at r=64 — the giant-unrolled-
+        # expression codegen fallback documented in BENCH.md); generate
+        # the disk with sequence/transform instead
+        return F.expr(
+            f"flatten(transform(sequence({-r}, {r}), "
+            f"dx -> transform(sequence({-r}, {r}), "
+            f"dy -> struct(dx AS dx, dy AS dy))))"
         )
 
     out_cols = [point_id, "rank", station_id, F.round("dist2", 12).alias("dist2")]

@@ -25,8 +25,10 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..config import DEFAULT_CONFIG
 from ..functions.cells import explode_bbox_cover, pack_xy, tile_x_col, tile_y_col
 from ..functions.viterbi import M_PER_DEG, Z_HMM, point_segment_dist_m_np, viterbi_decode_np
+from .match import memo_rowcount
 
 MATCH_SCHEMA = (
     "trace_id long, seq long, ts long, segment_id long, dist_m double"
@@ -63,15 +65,9 @@ def _pruned_candidates(fixes: DataFrame, segments: DataFrame, k: int) -> DataFra
     # sort-merge and shuffles the whole fix side — the same
     # no-stats-on-the-fact-side trap as the seg-dim gate in plans/match
     # (cfg.broadcast_dim_max_rows).  The count is memoised per segments
-    # DataFrame, shared with that gate.
-    from ..config import DEFAULT_CONFIG
-
-    n_segs = getattr(segments, "_te_rowcount", None)
-    if n_segs is None:
-        n_segs = segments.count()
-        segments._te_rowcount = n_segs
+    # DataFrame (plans/match.memo_rowcount), shared with that gate.
     # ~13 cover rows/segment (bbox ±1 ring): stay under the dim cap
-    if n_segs * 13 <= DEFAULT_CONFIG.broadcast_dim_max_rows:
+    if memo_rowcount(segments) * 13 <= DEFAULT_CONFIG.broadcast_dim_max_rows:
         cover = F.broadcast(cover)
     # non-finite coordinates (decode_fixes' try_cast admits 'NaN' and
     # 'Infinity' captions) are garbage for matching AND poison fix

@@ -283,6 +283,17 @@ SAMPLE_SCHEMA = T.StructType(
 )
 
 
+def memo_rowcount(df: DataFrame) -> int:
+    """Plan-time row count memoised on the DataFrame (the engine's CBO
+    substitute for stats-less relations; one count() per DataFrame object,
+    shared by every size-gated broadcast decision)."""
+    n = getattr(df, "_te_rowcount", None)
+    if n is None:
+        n = df.count()
+        df._te_rowcount = n
+    return n
+
+
 def _jumpers_sdf(spark: SparkSession, jumpers) -> DataFrame:
     """The jumper dim as a Spark DataFrame — `build_network_tables` hands
     back pandas below `cfg.jumper_fold_max_rows` and the sharded Spark
@@ -621,11 +632,7 @@ def _jumper_samples_declarative(
     # same); memoised on the DataFrame so repeated pipeline builds over
     # one network pay it once.  The jumper dim IS bounded (short-segment
     # sliver) — broadcast it unconditionally.
-    n_segs = getattr(segments, "_te_rowcount", None)
-    if n_segs is None:
-        n_segs = segments.count()
-        segments._te_rowcount = n_segs
-    if n_segs <= cfg.broadcast_dim_max_rows:
+    if memo_rowcount(segments) <= cfg.broadcast_dim_max_rows:
         seg_a, seg_b = F.broadcast(seg_a), F.broadcast(seg_b)
     enriched = (
         cross_samples.join(seg_a, "prev_seg", "left")  # null on first sample
