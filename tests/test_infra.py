@@ -1489,6 +1489,34 @@ def test_empty_and_malformed_inputs(spark, spark_network, images_pd):
     om.count()  # plan executes end-to-end on the degraded input
 
 
+def test_empty_inputs_dedup_ann_viterbi(spark, spark_network):
+    """Schema-preserving no-ops on empty inputs for the operator families
+    outside the pipeline: dedup, ANN, and the Viterbi matcher."""
+    from traffic_engine_spark.operators import ann as A
+    from traffic_engine_spark.operators import dedup as D
+    from traffic_engine_spark.plans import hmm
+
+    docs = spark.createDataFrame([], "doc_id long, lang string, source string, text string")
+    assert D.exact_dedup(docs).count() == 0
+    assert D.minhash_lsh_pairs(docs).count() == 0
+    assert sorted(D.simhash_pairs(docs).columns) == ["doc_a", "doc_b", "hamming"]
+    assert D.simhash_pairs(docs).count() == 0
+
+    emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert D.embedding_lsh_pairs(emb, min_cosine=0.3, band_planes=4, n_bands=8).count() == 0
+    # adaptive path: lsh_auto_bands(0) must not crash (log2 guard)
+    assert D.embedding_lsh_pairs(emb, min_cosine=0.9).count() == 0
+    assert A.brute_topk(emb, emb, k=3).count() == 0
+
+    segs, _, _ = spark_network
+    fixes = spark.createDataFrame(
+        [], "image_id string, trace_id long, ts long, lat double, lon double"
+    )
+    out = hmm.viterbi_match(fixes, segs)
+    assert out.count() == 0
+    assert [f.split(" ")[0] for f in hmm.MATCH_SCHEMA.split(", ")] == list(out.columns)
+
+
 def test_asof_join_operator(spark):
     left = spark.createDataFrame(
         pd.DataFrame({"k": [1, 1, 2], "ts": [10, 20, 10], "lid": [1, 2, 3]})
