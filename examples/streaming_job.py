@@ -29,9 +29,9 @@ sink MERGE-accumulates per-microbatch histogram increments with the
 microbatch id as the idempotency key, so at-least-once redelivery after a
 crash never double-counts (sources/store.merge_sum(op_id=...)).
 
-Optionally front query 1 with `--anonymity-gate`: a third (bronze) query
-running the per-tile RELEASE gate (W3) into a gated-fixes table, and point
---fixes at that table instead.
+Optionally front query 1 with a third (bronze) query running the per-tile
+RELEASE gate (W3): `--stage gate --fixes <raw> --gated <gated>` writes the
+gated-fixes table; point the crossings stage's --fixes at that table.
 """
 
 from __future__ import annotations
