@@ -1526,3 +1526,72 @@ def test_asof_join_operator(spark):
     )
     out = relational.asof_join(left, right, on="k").toPandas().sort_values("lid")
     assert list(out["rv_asof"]) == [100, 200, None] or list(out["rv_asof"].fillna(-1)) == [100, 200, -1]
+
+
+def test_lsh_auto_bands_degenerate_threshold():
+    """ADVICE r4: min_cosine == -1.0 makes the hyperplane collision
+    probability 0 (miss == 1.0) — must return the L cap, not divide by
+    log(1) == 0."""
+    from traffic_engine_spark.operators.dedup import lsh_auto_bands
+
+    r, L = lsh_auto_bands(1000, min_cosine=-1.0)
+    assert 4 <= r <= 16 and L == 64
+    # and the other degenerate end: identical-vector threshold
+    r2, L2 = lsh_auto_bands(1000, min_cosine=1.0)
+    assert L2 == 8
+
+
+def test_store_op_id_seen_across_instances(spark, tmp_path):
+    """ADVICE r4: a second long-lived SnapshotStore on the same path must
+    not double-apply an op_id committed by the first AFTER the second's
+    cache was warmed (the miss path re-reads the log)."""
+    from traffic_engine_spark.sources.store import SnapshotStore
+
+    key = ["k"]
+    a = SnapshotStore(spark, str(tmp_path / "xstore"), key_cols=key)
+    b = SnapshotStore(spark, str(tmp_path / "xstore"), key_cols=key)
+    inc = spark.createDataFrame([(1, 10)], "k long, n long")
+    a.merge_sum(inc, ["n"], op_id="op-0")   # warms nothing on b yet
+    b.merge_sum(inc, ["n"], op_id="op-1")   # b caches {op-0, op-1}
+    a.merge_sum(inc, ["n"], op_id="op-2")   # committed by a, not in b's cache
+    out = b.merge_sum(inc, ["n"], op_id="op-2")  # must be detected as replay
+    assert out["operation"] == "merge-sum-replay-skip"
+    assert int(b.read().agg({"n": "sum"}).first()[0]) == 30
+
+
+def test_find_crossings_smj_plans_on_stream(spark, spark_network, images_pd, tmp_path):
+    """ADVICE r4: the SMJ branch (broadcast_triplines=False) used to call
+    salted_join's plan-time hot-cell sampling, which throws
+    AnalysisException on a streaming DataFrame.  It must now fall through
+    to the plain join for streams — planning (and running one microbatch)
+    succeeds and matches the batch crossings."""
+    from traffic_engine_spark.streaming.match_stream import (
+        FIX_SCHEMA,
+        pair_fixes_stream,
+    )
+
+    segs, tls, jumpers_pd = spark_network
+    fixes_pd = M.decode_fixes(spark.createDataFrame(images_pd)).toPandas()
+    src = str(tmp_path / "smj_src"); os.makedirs(src)
+    fixes_pd.to_parquet(os.path.join(src, "all.parquet"), index=False)
+
+    pairs = pair_fixes_stream(
+        spark.readStream.schema(FIX_SCHEMA).parquet(src)
+    )
+    # plan-time: this line raised AnalysisException before the guard
+    cr = M.find_crossings(
+        pairs, M.tripline_cell_index(tls), broadcast_triplines=False
+    )
+    out = str(tmp_path / "smj_silver")
+    q = (
+        cr.writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", str(tmp_path / "smj_ck"))
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    _poll_stream(spark, q)
+    got = spark.read.parquet(out).toPandas()
+    want = M.find_crossings(
+        M.pair_fixes(M.decode_fixes(spark.createDataFrame(images_pd))),
+        M.tripline_cell_index(tls),
+    ).toPandas()
+    assert len(got) == len(want)

@@ -144,3 +144,47 @@ def test_rollup_yardstick_consistent_with_twin(spark):
     agg = Q.YARDSTICKS["rollup_agg"][0](spark, SF).toPandas()
     assert len(agg) > 0
     assert {"l_returnflag", "l_linestatus"} <= set(agg.columns)
+
+
+def test_knn_cells_brute_fallback_gate_unbroadcastable(spark, monkeypatch):
+    """ADVICE r4: when the unresolved residual is NOT a sliver (here: fewer
+    stations than k leaves every point unproven), the brute fallback must
+    not force-broadcast it.  Shrink the gate so the 40-point residual is
+    over-threshold and check the partitioned nested-loop path is taken and
+    stays exact."""
+    import dataclasses
+
+    import pandas as pd
+
+    from traffic_engine_spark.operators import spatial
+
+    tiny = dataclasses.replace(spatial.DEFAULT_CONFIG, broadcast_dim_max_rows=8)
+    monkeypatch.setattr(spatial, "DEFAULT_CONFIG", tiny)
+
+    pts = pd.DataFrame({
+        "point_id": range(40),
+        "lat": [37.0 + i * 0.01 for i in range(40)],
+        "lon": [-122.0 - i * 0.01 for i in range(40)],
+    })
+    stations = pd.DataFrame({
+        "station_id": [0, 1],
+        "lat": [37.05, 38.5],
+        "lon": [-122.05, -121.0],
+    })
+    p, s = spark.createDataFrame(pts), spark.createDataFrame(stations)
+    out = spatial.knn_join_cells(p, s, zoom=12, ring=1, k=3, max_ring=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the RESIDUAL (the RDD-backed `remaining` point set) must not be the
+    # broadcast build side; Spark is free to broadcast the tiny station dim
+    import re
+
+    m = re.search(
+        r"BroadcastExchange[^\n]*\n[^\n]*ExistingRDD\[point_id", plan
+    )
+    assert m is None, plan
+    cells = out.toPandas()
+    brute = spatial.knn_join_broadcast(p, s, k=3).toPandas()
+    cols = sorted(brute.columns)
+    a = brute[cols].sort_values(cols).reset_index(drop=True)
+    b = cells[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()))

@@ -588,6 +588,10 @@ def lsh_auto_bands(n_rows: int, min_cosine: float = 0.9) -> tuple[int, int]:
     miss = 1.0 - p ** r
     if miss <= 0.0:
         L = 8
+    elif miss >= 1.0:
+        # p == 0 (min_cosine == -1): no band can ever collide on purpose;
+        # return the L cap rather than divide by log(1) == 0.
+        L = 64
     else:
         L = math.ceil(math.log(0.05) / math.log(miss))
     return r, int(min(64, max(8, L)))

@@ -15,7 +15,9 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..config import DEFAULT_CONFIG
 from ..functions.cells import grid_disk_offsets, pack_xy, tile_x_col, tile_y_col
+from ..util import memo_rowcount
 
 
 def equirect_dist2(lat_a, lon_a, lat_b, lon_b):
@@ -171,11 +173,19 @@ def knn_join_cells(
     r, first = ring, True
     while True:
         if r > max_ring:
-            # brute residual: broadcast the (tiny) unresolved point set
-            # against the full station scan.  No ring can be trusted here
-            # (k-th neighbour arbitrarily far / fewer than k stations).
+            # brute residual against the full station scan.  No ring can
+            # be trusted here (k-th neighbour arbitrarily far / fewer than
+            # k stations).  `remaining` is *usually* a sliver, but when
+            # there are fewer than k stations overall (or a huge sparse
+            # region) it can be the whole points table — so the broadcast
+            # is size-gated like every other dim in the engine; above the
+            # gate the residual runs as a partitioned nested-loop cross
+            # join (no driver-side materialisation).
+            rem = remaining
+            if memo_rowcount(remaining) <= DEFAULT_CONFIG.broadcast_dim_max_rows:
+                rem = F.broadcast(remaining)
             scored = (
-                s_base.join(F.broadcast(remaining))
+                s_base.join(rem)
                 .withColumn(
                     "dist2",
                     equirect_dist2(

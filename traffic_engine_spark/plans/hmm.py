@@ -54,7 +54,9 @@ def _segment_cover(segments: DataFrame) -> DataFrame:
     )
 
 
-def _pruned_candidates(fixes: DataFrame, segments: DataFrame, k: int) -> DataFrame:
+def _pruned_candidates(
+    fixes: DataFrame, segments: DataFrame, k: int, cfg=DEFAULT_CONFIG
+) -> DataFrame:
     """The JVM half of the matcher: ring-join candidate pairing + the
     conservative per-fix top-k prune, everything codegen — the exact rows
     that cross the Arrow boundary into the kernel."""
@@ -67,7 +69,7 @@ def _pruned_candidates(fixes: DataFrame, segments: DataFrame, k: int) -> DataFra
     # (cfg.broadcast_dim_max_rows).  The count is memoised per segments
     # DataFrame (plans/match.memo_rowcount), shared with that gate.
     # ~13 cover rows/segment (bbox ±1 ring): stay under the dim cap
-    if memo_rowcount(segments) * 13 <= DEFAULT_CONFIG.broadcast_dim_max_rows:
+    if memo_rowcount(segments) * 13 <= cfg.broadcast_dim_max_rows:
         cover = F.broadcast(cover)
     # non-finite coordinates (decode_fixes' try_cast admits 'NaN' and
     # 'Infinity' captions) are garbage for matching AND poison fix
@@ -167,6 +169,7 @@ def viterbi_match(
     sigma_m: float = 25.0,
     trans_adj: float = 1.0,
     trans_jump: float = 10.0,
+    cfg=DEFAULT_CONFIG,
 ) -> DataFrame:
     """(trace_id, seq, ts, segment_id, dist_m): the Viterbi-decoded
     segment per GPS fix (segment_id -1 where no segment covers the fix's
@@ -177,7 +180,7 @@ def viterbi_match(
     the test oracle — output is independent of partitioning and
     parallelism (test_viterbi_partitioning_invariant).
     """
-    cand = _pruned_candidates(fixes, segments, k)
+    cand = _pruned_candidates(fixes, segments, k, cfg=cfg)
 
     # mapInPandas over the trace-hash-partitioned candidates, NOT a
     # per-trace applyInPandas: one vectorised pass handles every trace in

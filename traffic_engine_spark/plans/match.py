@@ -38,6 +38,7 @@ from ..config import (
     Z_ITEM,
 )
 from ..functions.binning import coerce_ms_col
+from ..util import memo_rowcount  # noqa: F401  (re-export; historical import site)
 from ..functions.ids import tripline_id_py
 from ..functions.cells import explode_bbox_cover, pack_xy, tile_x_col, tile_y_col
 
@@ -219,7 +220,13 @@ def find_crossings(
     tl_packed = tripline_index.withColumn("_ck", packed_key).drop("tile_x", "tile_y")
     if broadcast_triplines:
         j = gps_cells.join(F.broadcast(tl_packed), "_ck", "inner")
-    elif cfg.salt_smj_hot_cells:
+    elif cfg.salt_smj_hot_cells and not gps_cells.isStreaming:
+        # NOTE the isStreaming guard: salted_join's hot-cell sampling runs
+        # count()/localCheckpoint on the probe at plan time, which throws
+        # AnalysisException on a streaming DataFrame.  Streams fall
+        # through to the plain join below with AQE as the skew backstop
+        # (stream_crossings broadcasts in practice; this keeps the SMJ
+        # branch usable rather than silently broken for streams).
         # SMJ branch (tripline index above broadcast size): dense urban
         # cells concentrate candidate rows on single shuffle tasks, and
         # AQE skew-split alone still materialises the skewed map output
@@ -283,15 +290,8 @@ SAMPLE_SCHEMA = T.StructType(
 )
 
 
-def memo_rowcount(df: DataFrame) -> int:
-    """Plan-time row count memoised on the DataFrame (the engine's CBO
-    substitute for stats-less relations; one count() per DataFrame object,
-    shared by every size-gated broadcast decision)."""
-    n = getattr(df, "_te_rowcount", None)
-    if n is None:
-        n = df.count()
-        df._te_rowcount = n
-    return n
+# memo_rowcount moved to util.py (needed outside plans/); re-exported here
+# because every size-gated call site historically imports it from match.
 
 
 def _jumpers_sdf(spark: SparkSession, jumpers) -> DataFrame:

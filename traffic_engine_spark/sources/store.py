@@ -55,10 +55,15 @@ class SnapshotStore:
         return snaps[-1]["snapshot_id"] if snaps else None
 
     def _op_id_seen(self, op_id: str) -> bool:
-        if self._op_ids is None:
-            self._op_ids = {
-                s["op_id"] for s in self.snapshots() if "op_id" in s
-            }
+        # positive-only cache: a hit is trusted (op_ids are never removed
+        # from the log), but a MISS re-reads the log before declaring the
+        # op unseen — another store instance on the same path may have
+        # committed it since this instance's last read (the old
+        # rescan-every-call behaviour, kept only on the miss path, so the
+        # hot replay-skip case stays O(1)).
+        if self._op_ids is not None and op_id in self._op_ids:
+            return True
+        self._op_ids = {s["op_id"] for s in self.snapshots() if "op_id" in s}
         return op_id in self._op_ids
 
     def _commit(self, entry: dict):
