@@ -149,3 +149,42 @@ def test_welch_strict_parity_sd1_substitution_scope(spark):
     df_true = (v1 + v2) ** 2 / (v1**2 / 9 + v2**2 / 19)
     assert abs(strict["df"] - df_true) < 1e-9
     assert strict["t_crit"] == fixed["t_crit"]
+
+
+def test_geojson_gate_routes_large_networks_distributed(spark, spark_network, tmp_path):
+    """VERDICT r4 #4: above cfg.broadcast_dim_max_rows segments_to_geojson
+    must NOT collect to the driver — it routes to the per-tile JSONL
+    writer (path required) and the distributed offset_display matches the
+    driver path's geometry per segment."""
+    import dataclasses
+
+    from traffic_engine_spark.config import DEFAULT_CONFIG
+
+    segs, _, _ = spark_network
+    tiny = dataclasses.replace(DEFAULT_CONFIG, broadcast_dim_max_rows=3)
+
+    # over the gate without a path: loud refusal, no silent collect
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="driver-assembly gate"):
+        EX.segments_to_geojson(segs, cfg=tiny)
+
+    out = str(tmp_path / "gj_auto")
+    ret = EX.segments_to_geojson(segs, out, offset_display=True, cfg=tiny)
+    assert ret == out
+    dist = {
+        json.loads(r.value)["properties"]["segment_id"]:
+            json.loads(r.value)["geometry"]["coordinates"]
+        for r in spark.read.text(out).collect()
+    }
+    # driver path (default gate) on the same table: identical geometry,
+    # including the two-way display offset
+    doc = json.loads(EX.segments_to_geojson(segs, offset_display=True))
+    assert len(dist) == len(doc["features"]) == segs.count()
+    for f in doc["features"]:
+        # driver path stringifies ids (JSON-safe int64), JSONL keeps int
+        got = dist[int(f["properties"]["segment_id"])]
+        want = f["geometry"]["coordinates"]
+        assert len(got) == len(want)
+        for (gx, gy), (wx, wy) in zip(got, want):
+            assert abs(gx - wx) < 1e-12 and abs(gy - wy) < 1e-12

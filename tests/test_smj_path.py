@@ -101,3 +101,62 @@ def test_salted_j1_bounds_hot_cell_task_rows(spark):
     assert m_plain >= hot_n * 5
     assert m_salted <= m_plain / 3, (m_salted, m_plain)
     pd_.testing.assert_frame_equal(a, c, check_exact=True)
+
+
+def test_j1_broadcast_auto_gate(spark, spark_network, images_pd):
+    """VERDICT r4 #3: with the default broadcast_triplines=None the join
+    strategy is selected by index size against cfg.broadcast_dim_max_rows.
+    An over-threshold index must plan the SMJ+salt branch automatically
+    (no broadcast of the tripline side) with crossings parity unchanged."""
+    from pyspark.sql import functions as F
+
+    from traffic_engine_spark.config import EngineConfig
+
+    _, tls, _ = spark_network
+    images = spark.createDataFrame(images_pd)
+    pairs = M.pair_fixes(M.decode_fixes(images))
+    tli = M.tripline_cell_index(tls)
+
+    # under-threshold (default cfg): auto picks broadcast
+    auto_bc = M.find_crossings(pairs, tli)
+    plan_bc = auto_bc._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan_bc
+
+    # over-threshold: same call, tiny gate — must NOT broadcast the index
+    tiny = EngineConfig(broadcast_dim_max_rows=1)
+    tli2 = M.tripline_cell_index(tls)  # fresh object: fresh rowcount memo
+    auto_smj = M.find_crossings(pairs, tli2, cfg=tiny)
+    plan_smj = auto_smj._jdf.queryExecution().executedPlan().toString()
+    # the J1 join itself must be the salted shuffle join (salted_join is
+    # free to broadcast its tiny hot-cell-id dim internally — that's not
+    # the tripline index)
+    import re
+
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin) \[_ck#\d+L, _salt", plan_smj), plan_smj
+
+    key = ["trace_id", "seq", "time", "segment_id", "tripline_index",
+           "tripline_id", "tile_x", "tile_y"]
+    a = auto_bc.toPandas()[key].sort_values(key).reset_index(drop=True)
+    b = auto_smj.toPandas()[key].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
+
+
+def test_run_pipeline_gates_j1_by_tripline_count(spark, spark_network, images_pd):
+    """run_pipeline itself must flip to the non-broadcast branch when the
+    tripline table exceeds the dim gate — planet-safe without caller
+    knowledge — and produce identical samples either way."""
+    from traffic_engine_spark.config import EngineConfig
+
+    segs, tls, jumpers = spark_network
+    images = spark.createDataFrame(images_pd)
+    cr_def, s_def = M.run_pipeline(spark, images, tls, segs, jumpers)
+    tiny = EngineConfig(broadcast_dim_max_rows=1)
+    cr_smj, s_smj = M.run_pipeline(spark, images, tls, segs, jumpers, tiny)
+    a = cr_def.toPandas()
+    key = list(a.columns)
+    b = cr_smj.toPandas()[key]
+    pd.testing.assert_frame_equal(
+        a.sort_values(key).reset_index(drop=True),
+        b.sort_values(key).reset_index(drop=True),
+        check_exact=True,
+    )

@@ -190,16 +190,28 @@ def _cross(ux: Column, uy: Column, vx: Column, vy: Column) -> Column:
 def find_crossings(
     pairs: DataFrame,
     tripline_index: DataFrame,
-    broadcast_triplines: bool = True,
+    broadcast_triplines: bool | None = None,
     cfg: EngineConfig = DEFAULT_CONFIG,
 ) -> DataFrame:
     """GPS pair ⋈ tripline on z18 tile (±1 margin), refined by the exact
     parametric intersection — all native columns (J1+J2).
 
+    ``broadcast_triplines=None`` (default) auto-selects by index size
+    against ``cfg.broadcast_dim_max_rows`` — the same CBO-substitute
+    pattern as the segment-dim gate below and the Viterbi cover gate
+    (hmm.py), so a planet-sized tripline index plans SMJ+salt without
+    caller knowledge.  The count is memoised on the index DataFrame;
+    callers that reuse one index object (or pass an explicit bool) pay
+    it once.
+
     Returns one row per crossing *occurrence* (reference duplicate-hit
     semantics), with the matched (tile_x, tile_y) kept for the kernel's
     deterministic ordering (the reference's B-tree scan order,
     SpatialDataStore.java:165-177)."""
+    if broadcast_triplines is None:
+        broadcast_triplines = (
+            memo_rowcount(tripline_index) <= cfg.broadcast_dim_max_rows
+        )
     # narrow the probe row before the ~20× cover explode: every byte here is
     # multiplied by the fan-out (image_id in particular is dead weight — the
     # kernel keys on (trace_id, seq))
@@ -811,7 +823,13 @@ def run_pipeline(
         fixes = anonymity_gate(fixes)
     pairs = pair_fixes(fixes, cfg)
     tl_index = tripline_cell_index(triplines)
-    crossings = find_crossings(pairs, tl_index, cfg=cfg)
+    # J1 broadcast gate via the long-lived triplines table (memoised across
+    # pipeline calls, unlike the per-call tl_index object): a ≤20 m
+    # tripline at z18 margin 0 covers at most a 2×2 tile window, so
+    # rows(index) ≤ 4·rows(triplines) — a planet-sized index auto-selects
+    # the SMJ+salt branch without caller knowledge.
+    bcast = memo_rowcount(triplines) * 4 <= cfg.broadcast_dim_max_rows
+    crossings = find_crossings(pairs, tl_index, broadcast_triplines=bcast, cfg=cfg)
     # NOTE: crossings already inherit the pairing window's hash(trace_id)
     # partitioning through the narrow join chain, so repartition_input=False
     # is semantically valid here — but measured SLOWER (93s vs 68s at 8

@@ -15,7 +15,7 @@ import json
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..config import Z_AREA
+from ..config import DEFAULT_CONFIG, Z_AREA
 from ..functions.cells import tile_x_col, tile_y_col
 
 
@@ -23,12 +23,18 @@ DISPLAY_OFFSET_DEG = -0.000025  # two-way display offset (OSMDataStore.java:132)
 
 
 def segments_to_geojson(
-    segments: DataFrame, path: str | None = None, offset_display: bool = False
+    segments: DataFrame,
+    path: str | None = None,
+    offset_display: bool = False,
+    cfg=DEFAULT_CONFIG,
 ) -> str:
-    """Street segments → GeoJSON FeatureCollection string (optionally
-    written to `path`).  Driver-side assembly — the network dim is small;
-    at planet scale write per-tile JSONL features instead
-    (`segments_to_geojson_files`).
+    """Street segments → GeoJSON.  Size-gated like every other dim
+    decision in the engine: at or below ``cfg.broadcast_dim_max_rows``
+    the FeatureCollection is assembled on the driver (returned, and
+    written to `path` if given); above it the driver assembly would be
+    an unbounded collect, so the call routes to the distributed per-tile
+    JSONL writer (`segments_to_geojson_files`; requires `path`) and
+    returns `path`.
 
     ``offset_display=True`` reproduces the reference's display rendering
     (C10, osm/OSMDataStore.java:130-139): NON-oneway segments draw offset
@@ -36,6 +42,17 @@ def segments_to_geojson(
     (functions/geodesy.offset_curve_np — mitre-join recast of JTS
     OffsetCurveBuilder, display-only)."""
     from ..functions.geodesy import offset_curve_np
+    from ..util import memo_rowcount
+
+    if memo_rowcount(segments) > cfg.broadcast_dim_max_rows:
+        if path is None:
+            raise ValueError(
+                "segment table exceeds the driver-assembly gate "
+                f"({cfg.broadcast_dim_max_rows} rows); pass `path` for the "
+                "distributed JSONL writer"
+            )
+        segments_to_geojson_files(segments, path, offset_display=offset_display)
+        return path
 
     feats = []
     for r in segments.select(
@@ -68,9 +85,32 @@ def segments_to_geojson(
     return doc
 
 
-def segments_to_geojson_files(segments: DataFrame, path: str):
+def segments_to_geojson_files(
+    segments: DataFrame, path: str, offset_display: bool = False
+):
     """Distributed variant: one JSON feature per line, partitioned by z11
-    tile of the segment start — loadable as newline-delimited GeoJSON."""
+    tile of the segment start — loadable as newline-delimited GeoJSON.
+    ``offset_display`` applies the C10 two-way offset per Arrow batch
+    (numpy offset_curve_np inside mapInPandas — display-only path, the
+    geometry arrays never shuffle)."""
+    if offset_display:
+        from ..functions.geodesy import offset_curve_np
+
+        cols = segments.columns
+
+        def _offset(batches):
+            for pdf in batches:
+                for i in pdf.index[~pdf["oneway"].astype(bool)]:
+                    ox, oy = offset_curve_np(
+                        list(pdf.at[i, "lons"]), list(pdf.at[i, "lats"]),
+                        DISPLAY_OFFSET_DEG,
+                    )
+                    pdf.at[i, "lons"] = ox.tolist()
+                    pdf.at[i, "lats"] = oy.tolist()
+                yield pdf
+
+        segments = segments.mapInPandas(_offset, schema=segments.schema)
+        segments = segments.select(*cols)
     feature = F.to_json(
         F.struct(
             F.lit("Feature").alias("type"),
