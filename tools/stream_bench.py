@@ -1,15 +1,21 @@
 #!/usr/bin/env python
 """Streaming-medallion throughput at bench scale: the two planet queries
 (pairing kernel + declarative J1/J2 → silver; crossing kernel +
-declarative J4 → samples) over the ~0.83M-row bench fix set, availableNow.
+declarative J4 → samples) over the ~0.83M-row bench fix set.
 
-    python tools/stream_bench.py [--traces 8000] [--batches 4]
+    python tools/stream_bench.py [--traces 8000] [--batches 4] [--sequential]
 
 Prints ONE JSON line: per-query wall, rows, rows/sec.  `--batches`
 splits the input into that many time-ordered files consumed one per
 trigger (state round-trips between microbatches, the continuous-operation
 shape); 1 = a single catch-up batch.
-"""
+
+Default mode runs the two queries CONCURRENTLY — the deployed medallion
+shape (both queries are always-on; q2 tails the silver sink's
+_spark_metadata commit log, so it consumes exactly the batches q1
+commits, as they commit).  `--sequential` restores the old
+drain-q1-then-run-q2 measurement for comparison; its end-to-end number
+double-counts wall the deployment overlaps."""
 
 from __future__ import annotations
 
@@ -52,6 +58,7 @@ def main():
     batches = 4
     if "--batches" in sys.argv:
         batches = int(sys.argv[sys.argv.index("--batches") + 1])
+    sequential = "--sequential" in sys.argv
 
     from traffic_engine_spark import get_spark
     from traffic_engine_spark.datagen.bench_data import bench_network, ensure_bench_images
@@ -65,7 +72,15 @@ def main():
     )
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    spark = get_spark(app_name="stream-bench", cores=cpus, shuffle_partitions=cpus)
+    # State-partition count: BOTH medallion queries' only exchange is the
+    # stateful groupBy(trace_id), so shuffle.partitions here sets the
+    # state-store partition count, not join parallelism (J1/J4 are
+    # stream-static broadcast joins).  The per-microbatch fixed cost is
+    # ~0.6 s + ~15 ms/state-partition (measured, floor probe in BENCH.md):
+    # cpus/2 halves that tax while the post-state stages stay wide enough
+    # to keep the cores busy at bench batch sizes.
+    sp = int(os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", str(max(cpus // 2, 4))))
+    spark = get_spark(app_name="stream-bench", cores=cpus, shuffle_partitions=sp)
     ensure_bench_images(spark, os.path.join(BENCH_DIR, f"images_{traces}"), n_traces=traces)
     images = spark.read.parquet(os.path.join(BENCH_DIR, f"images_{traces}"))
     ways, nodes = bench_network(spark)
@@ -74,7 +89,11 @@ def main():
     # python worker warmup (same as bench.py)
     spark.range(1000, numPartitions=cpus).mapInPandas(lambda it: it, schema="id long").count()
 
-    d = tempfile.mkdtemp(prefix="stream_bench_")
+    # sink/checkpoint dirs follow the same policy as spark.local.dir
+    # (session.py): this sandbox's /tmp is a throttled virtual disk; on a
+    # real cluster these sit on NVMe/object storage
+    tmp_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    d = tempfile.mkdtemp(prefix="stream_bench_", dir=tmp_base)
     try:
         fixes_pd = M.decode_fixes(images).toPandas()
         n_fixes = len(fixes_pd)
@@ -106,27 +125,55 @@ def main():
             # all fix rows consumed: sum of input rows across progress
             return sum(p["numInputRows"] for p in q1.recentProgress) >= n_fixes
 
-        drain(q1, q1_done)
-        q1_wall = round(time.time() - t0, 3)
-        n_cross = spark.read.parquet(silver).count()
+        def start_q2(throttle: str | None = None):
+            # continuous trigger (not availableNow — that would freeze the
+            # file listing at start, before q1 has committed anything)
+            w = (
+                jumper_samples_stream(
+                    spark,
+                    spark.readStream.schema(CROSSING_SCHEMA).parquet(silver),
+                    segs, jumpers,
+                )
+                .writeStream.format("parquet").option("path", os.path.join(d, "gold"))
+                .option("checkpointLocation", os.path.join(d, "ck2"))
+                .outputMode("append")
+            )
+            if throttle:
+                # pace q2 to consume ~one q1-batch equivalent per trigger:
+                # fewer state commits + python round-trips, and less core
+                # contention against q1's fat join stage
+                w = w.trigger(processingTime=throttle)
+            return w.start()
 
-        cr = spark.readStream.schema(CROSSING_SCHEMA)
-        if batches > 1:
-            # one q1 microbatch writes ~cpus part files; consume a
-            # batch-equivalent per trigger
-            cr = cr.option("maxFilesPerTrigger", cpus)
-        t0 = time.time()
-        q2 = (
-            jumper_samples_stream(spark, cr.parquet(silver), segs, jumpers)
-            .writeStream.format("parquet").option("path", os.path.join(d, "gold"))
-            .option("checkpointLocation", os.path.join(d, "ck2"))
-            .outputMode("append").trigger(availableNow=True).start()
-        )
-        def q2_done():
-            return sum(p["numInputRows"] for p in q2.recentProgress) >= n_cross
-
-        drain(q2, q2_done)
-        q2_wall = round(time.time() - t0, 3)
+        if sequential:
+            drain(q1, q1_done)
+            q1_wall = round(time.time() - t0, 3)
+            n_cross = spark.read.parquet(silver).count()
+            t1 = time.time()
+            q2 = start_q2()
+            def q2_done():
+                return sum(p["numInputRows"] for p in q2.recentProgress) >= n_cross
+            drain(q2, q2_done)
+            q2_wall = round(time.time() - t1, 3)
+            e2e_wall = q1_wall + q2_wall
+        else:
+            # CONCURRENT: start q2 as soon as q1's sink exists (the first
+            # committed batch creates _spark_metadata; starting earlier
+            # would make the file source treat the dir as a plain listing
+            # and read uncommitted files)
+            while not os.path.isdir(os.path.join(silver, "_spark_metadata")):
+                if not q1.isActive:
+                    raise RuntimeError(f"q1 died before first commit: {q1.exception()}")
+                time.sleep(0.1)
+            q2 = start_q2(throttle="2 seconds")
+            drain(q1, q1_done)
+            q1_wall = round(time.time() - t0, 3)
+            n_cross = spark.read.parquet(silver).count()
+            def q2_done():
+                return sum(p["numInputRows"] for p in q2.recentProgress) >= n_cross
+            drain(q2, q2_done)
+            e2e_wall = round(time.time() - t0, 3)
+            q2_wall = e2e_wall  # q2 ran from (almost) t0 until drain
         n_samples = spark.read.parquet(os.path.join(d, "gold")).count()
     finally:
         shutil.rmtree(d, ignore_errors=True)
@@ -134,10 +181,12 @@ def main():
     print(json.dumps({
         "metric": "streaming medallion throughput (fixes -> crossings -> samples)",
         "fixes": n_fixes, "batches": batches,
+        "mode": "sequential" if sequential else "concurrent",
         "q1_crossings_wall_sec": q1_wall, "crossings": n_cross,
         "q1_fixes_per_sec": int(n_fixes / q1_wall),
         "q2_samples_wall_sec": q2_wall, "samples": n_samples,
-        "end_to_end_fixes_per_sec": int(n_fixes / (q1_wall + q2_wall)),
+        "end_to_end_wall_sec": round(e2e_wall, 3),
+        "end_to_end_fixes_per_sec": int(n_fixes / e2e_wall),
         "cpus": cpus,
     }))
 
