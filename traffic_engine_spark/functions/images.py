@@ -108,8 +108,44 @@ def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
     return encode_png(pixels) if fmt == "png" else encode_lossy(pixels)
 
 
+_PIL_IMAGE = None  # lazily probed; False = probed and absent
+
+
+def _pil():
+    """Optional real-codec branch: Pillow's Image class when installed,
+    else None.  Probed once; tests monkeypatch the cache to exercise the
+    branch without the library."""
+    global _PIL_IMAGE
+    if _PIL_IMAGE is None:
+        try:
+            from PIL import Image  # type: ignore
+
+            _PIL_IMAGE = Image
+        except ImportError:
+            _PIL_IMAGE = False
+    return _PIL_IMAGE or None
+
+
 def decode_image(data: bytes) -> np.ndarray:
-    return decode_png(data) if data[:8] == PNG_SIG else decode_lossy(data)
+    """Payload → grayscale uint8 (h, w).  The two deterministic in-repo
+    containers decode natively; any OTHER magic (real jpeg/webp/…) routes
+    through Pillow when installed, else raises at this one boundary.
+    Encoding stays deterministic (PNG/LOSY) regardless — engine outputs
+    must not depend on which libraries the cluster happens to have."""
+    if data[:8] == PNG_SIG:
+        return decode_png(data)
+    if data[:4] == LOSSY_MAGIC:
+        return decode_lossy(data)
+    Image = _pil()
+    if Image is not None:
+        import io
+
+        return np.asarray(Image.open(io.BytesIO(data)).convert("L"), dtype=np.uint8)
+    raise NotImplementedError(
+        f"payload magic {data[:4]!r} is not an in-repo container and real "
+        "image codecs need Pillow, absent in this environment — install "
+        "Pillow to decode real jpeg/webp/png-rgb payloads"
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -90,13 +90,45 @@ def encode_video(frames: list[np.ndarray], fmt: str = "png") -> bytes:
     return b"".join(parts)
 
 
+_AV_MODULE = None  # lazily probed; False = probed and absent
+
+
+def _av():
+    """Optional real-codec branch: PyAV (ffmpeg bindings) when installed,
+    else None.  Same contract as functions.images._pil."""
+    global _AV_MODULE
+    if _AV_MODULE is None:
+        try:
+            import av  # type: ignore
+
+            _AV_MODULE = av
+        except ImportError:
+            _AV_MODULE = False
+    return _AV_MODULE or None
+
+
 def decode_video(data: bytes) -> list[bytes]:
-    """→ list of per-frame image payloads.  Only the deterministic VID0
-    container decodes here; real codecs need ffmpeg bindings."""
+    """→ list of per-frame image payloads (grayscale PNG re-encodes for
+    real codecs, raw stored payloads for VID0).  The deterministic VID0
+    container decodes natively; any other container (mp4/h264/vp9/…)
+    routes through PyAV/ffmpeg when installed, else raises at this one
+    boundary."""
     if data[:4] != VIDEO_MAGIC:
+        av = _av()
+        if av is not None:
+            import io
+
+            out = []
+            with av.open(io.BytesIO(data)) as container:
+                for frame in container.decode(video=0):
+                    from ..functions.images import encode_png
+
+                    out.append(encode_png(frame.to_ndarray(format="gray")))
+            return out
         raise NotImplementedError(
-            "real video codecs (h264/vp9/…) need ffmpeg, absent in this "
-            "container — only the deterministic VID0 container is supported"
+            "real video codecs (h264/vp9/…) need PyAV/ffmpeg, absent in "
+            "this environment — only the deterministic VID0 container "
+            "decodes without it"
         )
     (n,) = struct.unpack(">I", data[4:8])
     pos, out = 8, []

@@ -1,0 +1,163 @@
+"""Real-Iceberg write path for the store interface (VERDICT r4 #7).
+
+`SnapshotStore` (sources/store.py) reproduces the Iceberg semantics the
+engine needs on plain parquet because this sandbox has no Iceberg runtime
+jar.  This module is the branch a real cluster takes WITHOUT editing call
+sites: `SnapshotStore(..., table="cat.db.t")` probes the session for an
+Iceberg catalog class and, when present, delegates every write to
+`IcebergStoreBackend`, which emits the canonical Iceberg SQL:
+
+  overwrite               CREATE OR REPLACE TABLE t USING iceberg AS ...
+  merge_insert_if_absent  MERGE INTO t ... WHEN NOT MATCHED THEN INSERT *
+  merge_sum               MERGE INTO t ... WHEN MATCHED THEN UPDATE
+                          SET c = t.c + s.c ... WHEN NOT MATCHED INSERT *
+  read(snapshot_id)       SELECT * FROM t VERSION AS OF <id>
+
+op_id replay idempotence uses a companion `<t>_ops` table (op_id per
+applied merge).  NOTE the companion insert is a second commit: a crash
+between the MERGE and the op-log INSERT can replay one batch.  On real
+Iceberg prefer writing the op_id as a snapshot summary property inside
+the same commit (CommitMetadata.withCommitProperties in the Java API);
+the SQL-only form here keeps the backend engine-portable and matches the
+at-least-once contract the streaming sink already documents.
+
+The SQL strings are unit-tested in-sandbox by capturing `run_sql`
+(tests/test_infra.py::test_iceberg_backend_sql_shapes); the true
+integration test is skip-marked on `iceberg_catalog_available`.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def iceberg_catalog_available(spark: SparkSession) -> bool:
+    """Capability probe: True when the Iceberg Spark catalog class is
+    loadable in this session's JVM (i.e. the runtime jar is on the
+    classpath and `spark.sql.catalog.*` can point at it)."""
+    try:
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
+        return True
+    except Exception:
+        return False
+
+
+class IcebergStoreBackend:
+    """SQL-emitting twin of SnapshotStore against a real Iceberg table.
+
+    ``run_sql`` defaults to ``spark.sql``; tests pass a capturing stub to
+    assert the emitted statements without an Iceberg runtime."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        table: str,
+        key_cols: list[str],
+        run_sql=None,
+    ):
+        self.spark = spark
+        self.table = table
+        self.key_cols = list(key_cols)
+        self.run_sql = run_sql if run_sql is not None else spark.sql
+
+    # -- helpers ------------------------------------------------------------
+
+    def _view(self, df: DataFrame) -> str:
+        name = f"_te_src_{uuid.uuid4().hex[:12]}"
+        df.createOrReplaceTempView(name)
+        return name
+
+    def _on(self) -> str:
+        return " AND ".join(f"t.{k} = s.{k}" for k in self.key_cols)
+
+    # -- reads --------------------------------------------------------------
+
+    def read(self, snapshot_id: int | None = None) -> DataFrame:
+        if snapshot_id is None:
+            return self.run_sql(f"SELECT * FROM {self.table}")
+        return self.run_sql(
+            f"SELECT * FROM {self.table} VERSION AS OF {int(snapshot_id)}"
+        )
+
+    def snapshots(self) -> DataFrame:
+        """Iceberg's own metadata table — the log SnapshotStore keeps in
+        metadata.json."""
+        return self.run_sql(
+            f"SELECT snapshot_id, parent_id, operation, summary "
+            f"FROM {self.table}.snapshots ORDER BY committed_at"
+        )
+
+    # -- writes -------------------------------------------------------------
+
+    def overwrite(self, df: DataFrame):
+        v = self._view(df)
+        return self.run_sql(
+            f"CREATE OR REPLACE TABLE {self.table} USING iceberg "
+            f"AS SELECT * FROM {v}"
+        )
+
+    def merge_insert_if_absent(self, df: DataFrame):
+        """StreetDataStore.save semantics: existing key wins, within-batch
+        duplicates keep the first in deterministic order (the same window
+        SnapshotStore.merge_insert_if_absent applies)."""
+        v = self._view(df)
+        keys = ", ".join(self.key_cols)
+        order = ", ".join(df.columns)
+        dedup = (
+            f"SELECT * FROM (SELECT *, ROW_NUMBER() OVER "
+            f"(PARTITION BY {keys} ORDER BY {order}) AS _rn FROM {v}) "
+            f"WHERE _rn = 1"
+        )
+        return self.run_sql(
+            f"MERGE INTO {self.table} t USING ({dedup}) s ON {self._on()} "
+            f"WHEN NOT MATCHED THEN INSERT ({order}) "
+            f"VALUES ({', '.join('s.' + c for c in df.columns)})"
+        )
+
+    def merge_sum(self, df: DataFrame, sum_cols: list[str], op_id: str | None = None):
+        """StatsDataStore.save accumulate: matched keys ADD sum_cols,
+        unmatched insert.  Rewrites only touched data files — the scale
+        reason this branch exists (the parquet stand-in rewrites the whole
+        table per commit)."""
+        if op_id is not None and self._op_id_seen(op_id):
+            return None
+        v = self._view(df)
+        keys = ", ".join(self.key_cols)
+        sums = ", ".join(f"SUM({c}) AS {c}" for c in sum_cols)
+        agg = f"SELECT {keys}, {sums} FROM {v} GROUP BY {keys}"
+        updates = ", ".join(f"t.{c} = t.{c} + s.{c}" for c in sum_cols)
+        cols = self.key_cols + list(sum_cols)
+        result = self.run_sql(
+            f"MERGE INTO {self.table} t USING ({agg}) s ON {self._on()} "
+            f"WHEN MATCHED THEN UPDATE SET {updates} "
+            f"WHEN NOT MATCHED THEN INSERT ({', '.join(cols)}) "
+            f"VALUES ({', '.join('s.' + c for c in cols)})"
+        )
+        if op_id is not None:
+            self._record_op_id(op_id)
+        return result
+
+    # -- op_id replay log ----------------------------------------------------
+
+    def _ops_table(self) -> str:
+        return f"{self.table}_ops"
+
+    def _op_id_seen(self, op_id: str) -> bool:
+        self.run_sql(
+            f"CREATE TABLE IF NOT EXISTS {self._ops_table()} "
+            f"(op_id STRING) USING iceberg"
+        )
+        hit = self.run_sql(
+            f"SELECT 1 FROM {self._ops_table()} WHERE op_id = '{op_id}' LIMIT 1"
+        )
+        try:
+            return len(hit.take(1)) > 0
+        except AttributeError:  # capturing stub in tests
+            return False
+
+    def _record_op_id(self, op_id: str):
+        self.run_sql(
+            f"INSERT INTO {self._ops_table()} VALUES ('{op_id}')"
+        )

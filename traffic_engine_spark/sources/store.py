@@ -31,10 +31,27 @@ from pyspark.sql import functions as F
 
 
 class SnapshotStore:
-    def __init__(self, spark: SparkSession, path: str, key_cols: list[str]):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        key_cols: list[str],
+        table: str | None = None,
+    ):
         self.spark = spark
         self.path = path
         self.key_cols = list(key_cols)
+        # real-Iceberg branch (VERDICT r4 #7): pass a catalog table name
+        # and, when the session's JVM has the Iceberg runtime, every write
+        # becomes the canonical Iceberg SQL (sources/iceberg.py) — the
+        # parquet-snapshot machinery below is the fallback, so the same
+        # call site runs unchanged on a real cluster and in this sandbox.
+        self.iceberg = None
+        if table is not None:
+            from .iceberg import IcebergStoreBackend, iceberg_catalog_available
+
+            if iceberg_catalog_available(spark):
+                self.iceberg = IcebergStoreBackend(spark, table, key_cols)
         os.makedirs(path, exist_ok=True)
         self.meta_path = os.path.join(path, "metadata.json")
         # op_id replay index: loaded from the snapshot log once, then kept
@@ -83,6 +100,8 @@ class SnapshotStore:
 
     def read(self, snapshot_id: int | None = None) -> DataFrame:
         """Current table state, or `VERSION AS OF snapshot_id` time travel."""
+        if self.iceberg is not None:
+            return self.iceberg.read(snapshot_id)
         sid = self.current_snapshot_id() if snapshot_id is None else snapshot_id
         if sid is None:
             raise ValueError(f"store {self.path} has no snapshots")
@@ -109,6 +128,9 @@ class SnapshotStore:
         return entry
 
     def overwrite(self, df: DataFrame) -> dict:
+        if self.iceberg is not None:
+            self.iceberg.overwrite(df)
+            return {"operation": "overwrite", "backend": "iceberg"}
         return self._write_snapshot(df, "overwrite", df.count())
 
     def merge_insert_if_absent(self, df: DataFrame) -> dict:
@@ -117,6 +139,9 @@ class SnapshotStore:
         DROPPED (the stored row wins), new keys are inserted exactly once
         (within-batch duplicates keep the first in deterministic key
         order).  A no-change merge commits no snapshot (Iceberg behaviour)."""
+        if self.iceberg is not None:
+            self.iceberg.merge_insert_if_absent(df)
+            return {"operation": "merge", "backend": "iceberg"}
         from pyspark.sql import Window
 
         w = Window.partitionBy(*self.key_cols).orderBy(*df.columns)
@@ -168,6 +193,9 @@ class SnapshotStore:
                 f"merge_sum input columns {sorted(df.columns)} must be "
                 f"exactly key_cols + sum_cols = {sorted(expected)}"
             )
+        if self.iceberg is not None:
+            self.iceberg.merge_sum(df, sum_cols, op_id)
+            return {"operation": "merge-sum", "backend": "iceberg"}
         if op_id is not None and self._op_id_seen(op_id):
             for snap in self.snapshots():
                 if snap.get("op_id") == op_id:
