@@ -46,7 +46,10 @@ def main():
     spark = get_spark(app_name="oracle-check", cores=8)
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+        # extra-scale dirs (tools/gen_scale.py) carry only the tables the
+        # family under test reads — register what exists
+        if os.path.exists(f"{SF_DIR}/{t}.parquet"):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
 
     qs, osql = E.queries(), E.oracle_sql()
     if "--yardsticks" in only:
