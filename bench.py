@@ -114,7 +114,16 @@ def main():
         lambda it: it, schema="id long"
     ).count()
     for t in ("lineitem", "orders", "customer", "events", "documents", "embeddings"):
-        spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+        # full-column pre-fault, not count(): count() reads only footers,
+        # and a cold page cache (e.g. after a long unrelated run evicted
+        # the testdata) then charges first-touch disk I/O to whichever
+        # timed entry scans the table first — measured as tpch_q1
+        # 0.35 s warm vs 1.3 s cold in back-to-back round-5 runs.  The
+        # external-CPU guard cannot see I/O waits, so keep them out of
+        # the timed sections entirely.
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").selectExpr(
+            "count(xxhash64(*))"  # evaluates per row -> faults every column
+        ).collect()
     # JIT warm-up on 64-row samples: first execution of the text/dedup
     # operator pipeline pays ~3 s of one-time whole-stage-codegen + JIT
     # (measured: minhash signature 4.3 s cold vs 0.9 s warm at sf0.1) that

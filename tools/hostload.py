@@ -31,11 +31,14 @@ import time
 _CLK = os.sysconf("SC_CLK_TCK")
 
 
-def _stat_totals() -> tuple[int, int, int]:
-    """(busy, steal, ncpu_capacity_base) jiffies from /proc/stat cpu line.
+def _stat_totals() -> tuple[int, int, int, int]:
+    """(busy, steal, iowait, ncpu) jiffies from /proc/stat cpu line.
 
     busy excludes idle+iowait; steal is reported separately (it is time
-    the whole VM lost, not time someone inside used)."""
+    the whole VM lost, not time someone inside used); iowait is
+    annotation-only (our own first-touch I/O also produces it, so it
+    does not gate — but a nonzero value flags disk stalls the CPU
+    attribution cannot see)."""
     with open("/proc/stat") as f:
         parts = f.readline().split()
     v = [int(x) for x in parts[1:]]
@@ -43,7 +46,7 @@ def _stat_totals() -> tuple[int, int, int]:
     idle = v[3] + v[4]
     steal = v[7] if len(v) > 7 else 0
     busy = sum(v) - idle - steal
-    return busy, steal, os.cpu_count() or 1
+    return busy, steal, v[4], os.cpu_count() or 1
 
 
 def _tree_cpu_jiffies(root_pid: int) -> int:
@@ -93,13 +96,14 @@ class LoadMonitor:
         self.steal_frac_limit = steal_frac_limit
 
     def snapshot(self) -> dict:
-        busy, steal, ncpu = _stat_totals()
+        busy, steal, iowait, ncpu = _stat_totals()
         with open("/proc/loadavg") as f:
             load1 = float(f.read().split()[0])
         return {
             "t": time.time(),
             "busy": busy,
             "steal": steal,
+            "iowait": iowait,
             "ncpu": ncpu,
             "load1": load1,
             "tree": _tree_cpu_jiffies(self.root_pid),
@@ -116,9 +120,11 @@ class LoadMonitor:
         )
         ext_frac = ext / capacity
         steal_frac = (after["steal"] - before["steal"]) / capacity
+        iowait_frac = (after["iowait"] - before["iowait"]) / capacity
         return {
             "external_frac": round(ext_frac, 4),
             "steal_frac": round(steal_frac, 4),
+            "iowait_frac": round(iowait_frac, 4),
             "load1": [before["load1"], after["load1"]],
             "clean": bool(
                 ext_frac <= self.external_frac_limit
