@@ -72,6 +72,21 @@ def main():
     )
     max_attempts = 1 + int(os.environ.get("SPARK_GRAFT_LOAD_RETRIES", "2"))
 
+    calm_wait_s = float(os.environ.get("SPARK_GRAFT_LOAD_WAIT", "60"))
+
+    def _wait_calm():
+        """The documented stall phases last minutes; an immediate re-run
+        lands inside the same phase.  Poll short idle probes until the
+        box looks calm (or the wait budget runs out — then try anyway
+        and let the annotation record the contamination)."""
+        deadline = time.time() + calm_wait_s
+        while time.time() < deadline:
+            s0 = mon.snapshot()
+            time.sleep(3)
+            if mon.window(s0, mon.snapshot())["clean"]:
+                return True
+        return False
+
     def timed(name: str, fn):
         """Run fn() in a load-attributed window; re-run on contamination.
         fn must rebuild its DataFrames from scratch (fresh plan, fresh
@@ -90,6 +105,8 @@ def main():
                 f"{name}: contaminated window (ext={w['external_frac']}, "
                 f"steal={w['steal_frac']}, load1={w['load1']}) — re-running"
             )
+            if attempt < max_attempts - 1:
+                _wait_calm()
         timings[name] = wall
         return result
 

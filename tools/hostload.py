@@ -42,10 +42,13 @@ def _stat_totals() -> tuple[int, int, int, int]:
     with open("/proc/stat") as f:
         parts = f.readline().split()
     v = [int(x) for x in parts[1:]]
-    # user nice system idle iowait irq softirq steal guest guest_nice
+    # user nice system idle iowait irq softirq steal guest guest_nice —
+    # guest/guest_nice are ALREADY included in user/nice by the kernel,
+    # so sum only the first 8 fields or sibling-VM guest time would be
+    # double-counted into busy (spurious contamination on VM hosts)
     idle = v[3] + v[4]
     steal = v[7] if len(v) > 7 else 0
-    busy = sum(v) - idle - steal
+    busy = sum(v[:8]) - idle - steal
     return busy, steal, v[4], os.cpu_count() or 1
 
 

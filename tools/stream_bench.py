@@ -125,23 +125,27 @@ def main():
             # all fix rows consumed: sum of input rows across progress
             return sum(p["numInputRows"] for p in q1.recentProgress) >= n_fixes
 
-        def start_q2(throttle: str | None = None):
-            # continuous trigger (not availableNow — that would freeze the
-            # file listing at start, before q1 has committed anything)
+        def start_q2(throttle: str | None = None, catch_up: bool = False):
+            # concurrent mode: continuous trigger (availableNow would
+            # freeze the file listing at start, before q1 has committed
+            # anything), throttled so q2 consumes ~one q1-batch chunks.
+            # sequential mode (catch_up): availableNow + per-trigger file
+            # cap — the ORIGINAL multi-microbatch state-round-trip
+            # measurement, preserved for cross-round comparison.
+            cr = spark.readStream.schema(CROSSING_SCHEMA)
+            if catch_up and batches > 1:
+                # one q1 microbatch writes ~cpus part files; consume a
+                # batch-equivalent per trigger
+                cr = cr.option("maxFilesPerTrigger", cpus)
             w = (
-                jumper_samples_stream(
-                    spark,
-                    spark.readStream.schema(CROSSING_SCHEMA).parquet(silver),
-                    segs, jumpers,
-                )
+                jumper_samples_stream(spark, cr.parquet(silver), segs, jumpers)
                 .writeStream.format("parquet").option("path", os.path.join(d, "gold"))
                 .option("checkpointLocation", os.path.join(d, "ck2"))
                 .outputMode("append")
             )
-            if throttle:
-                # pace q2 to consume ~one q1-batch equivalent per trigger:
-                # fewer state commits + python round-trips, and less core
-                # contention against q1's fat join stage
+            if catch_up:
+                w = w.trigger(availableNow=True)
+            elif throttle:
                 w = w.trigger(processingTime=throttle)
             return w.start()
 
@@ -150,7 +154,7 @@ def main():
             q1_wall = round(time.time() - t0, 3)
             n_cross = spark.read.parquet(silver).count()
             t1 = time.time()
-            q2 = start_q2()
+            q2 = start_q2(catch_up=True)
             def q2_done():
                 return sum(p["numInputRows"] for p in q2.recentProgress) >= n_cross
             drain(q2, q2_done)

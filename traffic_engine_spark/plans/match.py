@@ -824,11 +824,15 @@ def run_pipeline(
     pairs = pair_fixes(fixes, cfg)
     tl_index = tripline_cell_index(triplines)
     # J1 broadcast gate via the long-lived triplines table (memoised across
-    # pipeline calls, unlike the per-call tl_index object): a ≤20 m
-    # tripline at z18 margin 0 covers at most a 2×2 tile window, so
-    # rows(index) ≤ 4·rows(triplines) — a planet-sized index auto-selects
-    # the SMJ+salt branch without caller knowledge.
-    bcast = memo_rowcount(triplines) * 4 <= cfg.broadcast_dim_max_rows
+    # pipeline calls, unlike the per-call tl_index object).  Cover bound:
+    # a ≤20 m tripline at z18 margin 0 covers a 2×2 tile window at city
+    # latitudes, but z18 tile ground width is ~152·cos(lat) m and drops
+    # below 20 m above |lat|≈82.4°, where a 3×3 window (9 cells) becomes
+    # reachable — use the universal ×9 bound so the gate can never
+    # under-count the index and force-broadcast an over-cap relation (the
+    # failure this gate exists to prevent); mid-size indexes near the
+    # boundary take the tested SMJ+salt branch instead.
+    bcast = memo_rowcount(triplines) * 9 <= cfg.broadcast_dim_max_rows
     crossings = find_crossings(pairs, tl_index, broadcast_triplines=bcast, cfg=cfg)
     # NOTE: crossings already inherit the pairing window's hash(trace_id)
     # partitioning through the narrow join chain, so repartition_input=False

@@ -118,11 +118,11 @@ def decode_video(data: bytes) -> list[bytes]:
         if av is not None:
             import io
 
+            from ..functions.images import encode_png
+
             out = []
             with av.open(io.BytesIO(data)) as container:
                 for frame in container.decode(video=0):
-                    from ..functions.images import encode_png
-
                     out.append(encode_png(frame.to_ndarray(format="gray")))
             return out
         raise NotImplementedError(

@@ -42,9 +42,9 @@ def segments_to_geojson(
     (functions/geodesy.offset_curve_np — mitre-join recast of JTS
     OffsetCurveBuilder, display-only)."""
     from ..functions.geodesy import offset_curve_np
-    from ..util import memo_rowcount
+    from ..util import over_rowcount
 
-    if memo_rowcount(segments) > cfg.broadcast_dim_max_rows:
+    if over_rowcount(segments, cfg.broadcast_dim_max_rows):
         if path is None:
             raise ValueError(
                 "segment table exceeds the driver-assembly gate "

@@ -64,10 +64,20 @@ class IcebergStoreBackend:
 
     # -- helpers ------------------------------------------------------------
 
-    def _view(self, df: DataFrame) -> str:
+    def _with_view(self, df: DataFrame, fn):
+        """Register df as a temp view, run fn(view_name), drop the view.
+        Dropping matters: the streaming store sink merges once per
+        microbatch, and leaked per-call views would pin their DataFrames
+        in the session catalog for the life of the stream."""
         name = f"_te_src_{uuid.uuid4().hex[:12]}"
         df.createOrReplaceTempView(name)
-        return name
+        try:
+            return fn(name)
+        finally:
+            try:
+                self.spark.catalog.dropTempView(name)
+            except Exception:
+                pass
 
     def _on(self) -> str:
         return " AND ".join(f"t.{k} = s.{k}" for k in self.key_cols)
@@ -92,29 +102,31 @@ class IcebergStoreBackend:
     # -- writes -------------------------------------------------------------
 
     def overwrite(self, df: DataFrame):
-        v = self._view(df)
-        return self.run_sql(
+        return self._with_view(df, lambda v: self.run_sql(
             f"CREATE OR REPLACE TABLE {self.table} USING iceberg "
             f"AS SELECT * FROM {v}"
-        )
+        ))
 
     def merge_insert_if_absent(self, df: DataFrame):
         """StreetDataStore.save semantics: existing key wins, within-batch
         duplicates keep the first in deterministic order (the same window
         SnapshotStore.merge_insert_if_absent applies)."""
-        v = self._view(df)
         keys = ", ".join(self.key_cols)
         order = ", ".join(df.columns)
-        dedup = (
-            f"SELECT * FROM (SELECT *, ROW_NUMBER() OVER "
-            f"(PARTITION BY {keys} ORDER BY {order}) AS _rn FROM {v}) "
-            f"WHERE _rn = 1"
-        )
-        return self.run_sql(
-            f"MERGE INTO {self.table} t USING ({dedup}) s ON {self._on()} "
-            f"WHEN NOT MATCHED THEN INSERT ({order}) "
-            f"VALUES ({', '.join('s.' + c for c in df.columns)})"
-        )
+
+        def go(v):
+            dedup = (
+                f"SELECT * FROM (SELECT *, ROW_NUMBER() OVER "
+                f"(PARTITION BY {keys} ORDER BY {order}) AS _rn FROM {v}) "
+                f"WHERE _rn = 1"
+            )
+            return self.run_sql(
+                f"MERGE INTO {self.table} t USING ({dedup}) s ON {self._on()} "
+                f"WHEN NOT MATCHED THEN INSERT ({order}) "
+                f"VALUES ({', '.join('s.' + c for c in df.columns)})"
+            )
+
+        return self._with_view(df, go)
 
     def merge_sum(self, df: DataFrame, sum_cols: list[str], op_id: str | None = None):
         """StatsDataStore.save accumulate: matched keys ADD sum_cols,
@@ -122,22 +134,25 @@ class IcebergStoreBackend:
         reason this branch exists (the parquet stand-in rewrites the whole
         table per commit)."""
         if op_id is not None and self._op_id_seen(op_id):
-            return None
-        v = self._view(df)
+            return None  # replay-skip: caller surfaces it in `operation`
         keys = ", ".join(self.key_cols)
         sums = ", ".join(f"SUM({c}) AS {c}" for c in sum_cols)
-        agg = f"SELECT {keys}, {sums} FROM {v} GROUP BY {keys}"
         updates = ", ".join(f"t.{c} = t.{c} + s.{c}" for c in sum_cols)
         cols = self.key_cols + list(sum_cols)
-        result = self.run_sql(
-            f"MERGE INTO {self.table} t USING ({agg}) s ON {self._on()} "
-            f"WHEN MATCHED THEN UPDATE SET {updates} "
-            f"WHEN NOT MATCHED THEN INSERT ({', '.join(cols)}) "
-            f"VALUES ({', '.join('s.' + c for c in cols)})"
-        )
+
+        def go(v):
+            agg = f"SELECT {keys}, {sums} FROM {v} GROUP BY {keys}"
+            return self.run_sql(
+                f"MERGE INTO {self.table} t USING ({agg}) s ON {self._on()} "
+                f"WHEN MATCHED THEN UPDATE SET {updates} "
+                f"WHEN NOT MATCHED THEN INSERT ({', '.join(cols)}) "
+                f"VALUES ({', '.join('s.' + c for c in cols)})"
+            )
+
+        result = self._with_view(df, go)
         if op_id is not None:
             self._record_op_id(op_id)
-        return result
+        return result if result is not None else True
 
     # -- op_id replay log ----------------------------------------------------
 

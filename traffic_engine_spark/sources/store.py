@@ -46,6 +46,11 @@ class SnapshotStore:
         # becomes the canonical Iceberg SQL (sources/iceberg.py) — the
         # parquet-snapshot machinery below is the fallback, so the same
         # call site runs unchanged on a real cluster and in this sandbox.
+        # NOTE the iceberg-backend return contract is reduced: write
+        # methods return {"operation", "backend"} only (replay skips
+        # surface as operation == "merge-sum-replay-skip"); snapshot ids
+        # / row deltas live in Iceberg's own metadata tables
+        # (backend.snapshots()), not in the returned dict.
         self.iceberg = None
         if table is not None:
             from .iceberg import IcebergStoreBackend, iceberg_catalog_available
@@ -194,8 +199,12 @@ class SnapshotStore:
                 f"exactly key_cols + sum_cols = {sorted(expected)}"
             )
         if self.iceberg is not None:
-            self.iceberg.merge_sum(df, sum_cols, op_id)
-            return {"operation": "merge-sum", "backend": "iceberg"}
+            applied = self.iceberg.merge_sum(df, sum_cols, op_id)
+            return {
+                "operation": "merge-sum" if applied is not None
+                else "merge-sum-replay-skip",
+                "backend": "iceberg",
+            }
         if op_id is not None and self._op_id_seen(op_id):
             for snap in self.snapshots():
                 if snap.get("op_id") == op_id:
