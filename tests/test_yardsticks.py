@@ -188,3 +188,20 @@ def test_knn_cells_brute_fallback_gate_unbroadcastable(spark, monkeypatch):
     a = brute[cols].sort_values(cols).reset_index(drop=True)
     b = cells[cols].sort_values(cols).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()))
+
+
+def test_semantic_dedup_keep_rule(spark):
+    """SemDeDup composition invariants: every input vector appears exactly
+    once, exactly one keeper per component, singletons keep themselves,
+    and the keeper is the component minimum."""
+    import pandas as pd
+
+    out = Q.YARDSTICKS["dedup_semantic"][0](spark, SF).toPandas()
+    emb_n = spark.read.parquet(f"{SF}/embeddings.parquet").count()
+    assert len(out) == emb_n and out["vec_id"].is_unique
+    grp = out.groupby("component_id")
+    assert (grp["keep"].sum() == 1).all()          # one keeper per component
+    keepers = out[out.keep].set_index("component_id")["vec_id"].sort_index()
+    assert (grp["vec_id"].min().sort_index() == keepers).all()
+    singles = grp.size() == 1
+    assert out[out.component_id.isin(singles[singles].index)]["keep"].all()

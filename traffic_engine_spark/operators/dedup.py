@@ -776,3 +776,46 @@ def embedding_lsh_pairs(
         .filter(F.col("cosine") >= min_cosine)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    centroids: DataFrame,
+    min_cosine: float = 0.9,
+    assign_top: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings by nearest centroid, call
+    within-cluster pairs above ``min_cosine`` semantic duplicates, and
+    keep ONE representative per transitive duplicate group.  Composition
+    of the engine's existing scale pieces — IVF-blocked cosine pairs
+    (`embedding_ivf_pairs`: candidates never leave their cells, exact
+    verify) + min-label connected components (`graph.connected_components`)
+    — so the 100-TB shape is inherited, not re-derived.
+
+    Returns one row per INPUT vector: (vec_id, component_id, keep) —
+    singletons are their own component with keep=true.  The keeper is the
+    minimum id per component (deterministic, run-order independent); the
+    paper keeps the member farthest from the centroid — swap the keep
+    rule by joining centroid distance and ranking, the components are the
+    expensive part.
+
+    ``assign_top`` > 1 (multi-assignment / nprobe) trades extra candidate
+    pairs for recall across cell boundaries, exactly as in
+    `embedding_ivf_pairs`."""
+    from .graph import connected_components
+
+    pairs = embedding_ivf_pairs(
+        emb, centroids, min_cosine, assign_top, id_col, vec_col
+    )
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    ids = emb.select(F.col(id_col).alias("vec_id"))
+    return ids.join(
+        comp.withColumnRenamed("node", "vec_id"), "vec_id", "left"
+    ).select(
+        "vec_id",
+        F.coalesce("component", F.col("vec_id")).alias("component_id"),
+        (F.coalesce("component", F.col("vec_id")) == F.col("vec_id")).alias("keep"),
+    )

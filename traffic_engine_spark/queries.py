@@ -150,6 +150,7 @@ YARDSTICKS: dict[str, tuple] = {}
 YARDSTICK_TWINS = {
     "knn_join": "knn_join_cells",
     "dedup_embedding_ivf": "dedup_embedding_lsh",
+    "dedup_semantic": "dedup_components",
     "ann_topk": "ann_lsh_topk",
     "ann_lsh_buckets": "ann_lsh_topk",
     "dedup_embedding_cosine": "dedup_embedding_lsh",
@@ -1555,6 +1556,56 @@ def dedup_embedding_ivf(spark, sf_dir):
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cv")
     )
     return dedup.embedding_ivf_pairs(emb, centroids, min_cosine=0.3, assign_top=3)
+
+
+@yq(
+    "dedup_semantic",
+    """
+WITH RECURSIVE c AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv
+           FROM embeddings WHERE vec_id < 16),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+cscored AS (
+  SELECT v.vec_id, c.centroid_id,
+         row_number() OVER (PARTITION BY v.vec_id
+                            ORDER BY list_dot_product(v.emb, c.cv)
+                                     / (sqrt(list_dot_product(v.emb, v.emb))
+                                        * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                                     c.centroid_id) AS rn
+  FROM v CROSS JOIN c),
+cells AS (SELECT vec_id, centroid_id FROM cscored WHERE rn <= 2),
+cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM cells a JOIN cells b ON a.centroid_id = b.centroid_id
+                                  AND a.vec_id < b.vec_id),
+pairs AS (
+  SELECT id_a, id_b
+  FROM cand JOIN v a ON a.vec_id = id_a JOIN v b ON b.vec_id = id_b
+  WHERE round(list_dot_product(a.emb, b.emb)
+              / (sqrt(list_dot_product(a.emb, a.emb))
+                 * sqrt(list_dot_product(b.emb, b.emb))), 6) >= 0.3),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT reach.node, e.b FROM reach JOIN edges e ON e.a = reach.r),
+comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
+SELECT v.vec_id,
+       COALESCE(comp.component, v.vec_id) AS component_id,
+       COALESCE(comp.component, v.vec_id) = v.vec_id AS keep
+FROM v LEFT JOIN comp ON comp.node = v.vec_id
+""",
+)
+def dedup_semantic(spark, sf_dir):
+    """SemDeDup composition (cluster -> within-cell cosine pairs ->
+    connected components -> min-id keeper; singletons keep=true) — the
+    semantic twin of the registered `dedup_components` resolution entry.
+    Pytest-only yardstick, gated by tools/check_oracle.py --yardsticks."""
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cv")
+    )
+    return dedup.semantic_dedup(emb, centroids, min_cosine=0.3, assign_top=2)
 
 
 _IVF_CTE = """
