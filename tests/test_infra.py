@@ -1662,3 +1662,26 @@ def test_iceberg_backend_integration(spark, tmp_path):
     st.merge_sum(df, ["n"], op_id="x")
     st.merge_sum(df, ["n"], op_id="x")  # replay must not double-apply
     assert int(st.read().agg({"n": "sum"}).first()[0]) == 5
+
+
+def test_hostload_tree_attribution():
+    """tools/hostload attributes our own CPU burn to our process tree —
+    the invariant the bench contamination guard rests on.  Pure-parse
+    test (no timing assertions against the noisy host): burning ~0.5 s
+    of CPU in this process must grow our tree's jiffies accordingly."""
+    import sys as _sys
+    import time as _time
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    _sys.path.insert(0, os.path.join(repo, "tools"))
+    from hostload import _tree_cpu_jiffies
+
+    clk = os.sysconf("SC_CLK_TCK")
+    j0 = _tree_cpu_jiffies(os.getpid())
+    t0 = _time.process_time()
+    x = 0.0
+    while _time.process_time() - t0 < 0.5:
+        for i in range(10000):
+            x += i * 0.5
+    grew = _tree_cpu_jiffies(os.getpid()) - j0
+    assert grew >= 0.3 * clk * 0.5, (grew, clk)  # ≥ 60% of the burn seen
