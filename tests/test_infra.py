@@ -1685,3 +1685,57 @@ def test_hostload_tree_attribution():
             x += i * 0.5
     grew = _tree_cpu_jiffies(os.getpid()) - j0
     assert grew >= 0.3 * clk * 0.5, (grew, clk)  # ≥ 60% of the burn seen
+
+
+def test_star_contraction_matches_label_propagation(spark):
+    """Star contraction (Kiveris et al.) and min-label propagation must
+    agree exactly on mixed graphs, and star must solve a 3000-hop chain
+    (diameter far beyond label's default iteration budget) in its
+    O(log² n) round budget."""
+    import random
+
+    from traffic_engine_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    edges = (
+        [(i, i + 1) for i in range(0, 9)]
+        + [(100, 101), (101, 102), (102, 100)]
+        + [(200, 201), (200, 202), (200, 203)]
+        + [(9, 100), (7, 7)]
+    )
+    rnd = random.Random(11)
+    nodes = list(range(300, 400))
+    edges += [(rnd.choice(nodes), rnd.choice(nodes)) for _ in range(150)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    lab = {(r.node, r.component) for r in connected_components(e, max_iter=30).collect()}
+    star = {(r.node, r.component) for r in connected_components_star(e).collect()}
+    assert lab == star
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(3000)], "src long, dst long"
+    )
+    got = connected_components_star(chain).toPandas()
+    assert len(got) == 3001
+    assert (got["component"] == 0).all()
+
+
+def test_dedup_resolution_falls_back_to_star_on_chains(spark):
+    """The resolution wrapper must complete (not abort) on a chain-shaped
+    duplicate graph whose diameter exceeds label propagation's budget."""
+    import warnings as _warnings
+
+    from traffic_engine_spark.operators.graph import dedup_resolution
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "doc_a long, doc_b long"
+    )
+    # shrink label's budget indirectly: 200 hops > default 50 iterations
+    with _warnings.catch_warnings(record=True) as w:
+        _warnings.simplefilter("always")
+        out = dedup_resolution(chain).toPandas()
+    assert any("star contraction" in str(x.message) for x in w)
+    assert len(out) == 201
+    assert (out["component_id"] == 0).all()
+    assert out[out.keep]["doc_id"].tolist() == [0]
