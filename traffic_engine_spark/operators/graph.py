@@ -8,13 +8,14 @@ is the component's minimum node id (deterministic, run-order independent).
 Each iteration is two bounded-key equi-joins + one partial-agg groupBy, and
 the iteration count is the component hop-diameter — small for dedup
 clusters (near-dup graphs are dense blobs, not paths).  For adversarial
-long-chain graphs the known upgrade is star-contraction (Kiveris et al.,
-"Connected Components in MapReduce", SoCC'14) which squares the label
-reach per round; the fixpoint contract (and this API) stays the same.
+long-chain graphs `connected_components_star` implements star-contraction
+(Kiveris et al., "Connected Components in MapReduce", SoCC'14): rounds
+scale with log² of the diameter, and `dedup_resolution` falls back to it
+automatically when label propagation's budget is exceeded.
 
-Same convergence discipline as plans/network.build_jumpers_sharded: loudly
-raise if the diameter exceeds max_iter instead of silently splitting a
-component.
+Same convergence discipline as plans/network.build_jumpers_sharded: each
+algorithm loudly raises if its own budget is exceeded instead of silently
+splitting a component.
 """
 
 from __future__ import annotations
