@@ -1687,6 +1687,51 @@ def test_hostload_tree_attribution():
     assert grew >= 0.3 * clk * 0.5, (grew, clk)  # ≥ 60% of the burn seen
 
 
+def test_hostload_attributes_cpu_of_dead_unreaped_descendants():
+    """The scaling-bench misattribution regression: a grandchild whose
+    parent exits WITHOUT wait()ing it (the py4j-JVM shape) must still
+    have its burn attributed to our tree, even though it has left the
+    process table before the closing snapshot.  The old point-in-time
+    walk + cutime rollup lost it entirely — every multi-executor phase
+    read a bit-stable external_frac ~= our own pinned cores / 32
+    (scaling_r5_attempts.jsonl)."""
+    import subprocess
+    import sys as _sys
+    import time as _time
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    _sys.path.insert(0, os.path.join(repo, "tools"))
+    from hostload import LoadMonitor
+
+    clk = os.sysconf("SC_CLK_TCK")
+    burn = (
+        "import time\n"
+        "t0 = time.process_time()\n"
+        "while time.process_time() - t0 < 0.8:\n"
+        "    pass\n"
+    )
+    # child: spawn the burner, linger while it burns, then _exit without
+    # reaping it -> the burner's jiffies never roll up into any cutime
+    child = (
+        "import os, subprocess, sys, time\n"
+        f"p = subprocess.Popen([sys.executable, '-c', {burn!r}])\n"
+        "time.sleep(2.5)\n"
+        "os._exit(0)\n"
+    )
+    mon = LoadMonitor(sample_interval=0.1)
+    try:
+        s0 = mon.snapshot()
+        subprocess.run([_sys.executable, "-c", child], check=True)
+        _time.sleep(0.3)
+        s1 = mon.snapshot()
+    finally:
+        mon.close()
+    grew = s1["tree"] - s0["tree"]
+    # >= 50% of the 0.8 s grandchild burn seen (sampler granularity +
+    # host noise headroom; the old code saw ~0%)
+    assert grew >= 0.5 * clk * 0.8, (grew, clk)
+
+
 def test_star_contraction_matches_label_propagation(spark):
     """Star contraction (Kiveris et al.) and min-label propagation must
     agree exactly on mixed graphs, and star must solve a 3000-hop chain

@@ -8,13 +8,29 @@ numbers, each timed bench entry samples:
 
 - /proc/stat totals       -> whole-box busy + steal jiffies
 - our own process tree    -> jiffies attributable to the bench itself
-  (driver python + JVM + pyspark workers; reaped children roll up via
-  cutime/cstime)
+  (driver python + JVM + pyspark workers), accumulated by a background
+  sampler thread so processes that EXIT inside the window still count
 
 and computes, over the entry's wall window:
 
     external_frac = (box_busy - our_tree) / box_capacity
     steal_frac    = steal / box_capacity
+
+Why a sampler and not a point-in-time tree walk + cutime rollups: the
+scaling bench's measured work runs in taskset-pinned child processes
+whose py4j JVM (and its pyspark daemon workers) is not reliably
+wait()ed before the child exits — at the closing snapshot the whole
+job's CPU had left the tree unreaped and was misattributed as
+EXTERNAL.  The signature was unmistakable: single-executor phases read
+external ~= 2/32 cores and 4-executor phases ~= 7-8/32, bit-stable
+across wildly different real load windows (scaling_r5_attempts.jsonl:
+0.2228/0.2231/0.225).  The sampler polls the live descendant tree
+(utime+stime only, keyed by (pid, starttime) against pid reuse) every
+``sample_interval`` seconds, so each process's burn is captured while
+it lives; only the final < interval of a dying process is lost, which
+undercounts *us* by at most interval x its cores (conservative: errs
+toward flagging contamination, never toward hiding it).  cutime is no
+longer read at all — mixing rollups with live samples double-counts.
 
 An entry is CONTAMINATED when either exceeds its threshold: someone
 else was using the machine (or the hypervisor was stealing cycles)
@@ -26,9 +42,59 @@ no longer depend on prose disclaimers about noisy windows.
 from __future__ import annotations
 
 import os
+import threading
 import time
 
 _CLK = os.sysconf("SC_CLK_TCK")
+
+
+def membw_probe(threads: int = 4, mb: int = 512, seconds: float = 2.5) -> float:
+    """Aggregate memory-copy bandwidth (GiB/s) sustained by ``threads``
+    concurrent numpy copies of ``mb``-MiB buffers for ~``seconds``.
+
+    Why this exists: this VM has throttle phases where memory bandwidth
+    drops sharply with ZERO signal in CPU accounting — no steal, no
+    external busy jiffies; our own processes just retire fewer
+    instructions per cycle (BENCH.md round-5 scaling notes: identical
+    code+input, externally-clean windows, 4x2-core walls 47.8-108 s).
+    A 2-3 s copy probe with a working set far beyond the 260 MiB L3
+    reads the CURRENT bandwidth directly, so benchmark harnesses can
+    classify the phase before/after a timed section instead of
+    inferring it from inflated walls.  Counted bytes are buffer size
+    per copy (each copy moves 2x that through DRAM; the figure is a
+    relative phase indicator, not a STREAM-comparable absolute)."""
+    import threading as _threading
+
+    import numpy as np
+
+    moved = [0] * threads
+    # allocate + fault the buffers BEFORE the clock starts: first-touch
+    # page faults are not the bandwidth being measured (and in a
+    # throttled phase they can eat the whole window)
+    bufs = []
+    for _ in range(threads):
+        src = np.ones(mb * 1024 * 1024 // 8, dtype=np.int64)
+        dst = np.empty_like(src)
+        np.copyto(dst, src)
+        bufs.append((src, dst))
+
+    stop_at = time.time() + seconds
+
+    def worker(i: int) -> None:
+        src, dst = bufs[i]
+        while True:
+            np.copyto(dst, src)  # releases the GIL
+            moved[i] += src.nbytes
+            if time.time() >= stop_at:
+                break
+
+    ts = [_threading.Thread(target=worker, args=(i,)) for i in range(threads)]
+    t0 = time.time()
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    return sum(moved) / (time.time() - t0) / (1 << 30)
 
 
 def _stat_totals() -> tuple[int, int, int, int]:
@@ -85,18 +151,98 @@ def _tree_cpu_jiffies(root_pid: int) -> int:
     return total
 
 
+def _walk_tree_self(root_pid: int) -> dict[tuple[int, int], int]:
+    """{(pid, starttime): utime+stime} over root_pid's live descendant
+    tree (root included).  Self time only — no cutime/cstime, the
+    sampler accounts for children directly while they live.  starttime
+    (jiffies since boot, stat field 22) keys out pid reuse."""
+    procs: dict[int, tuple[int, int, int]] = {}
+    for entry in os.listdir("/proc"):
+        if not entry.isdigit():
+            continue
+        try:
+            with open(f"/proc/{entry}/stat") as f:
+                raw = f.read()
+        except OSError:
+            continue
+        rest = raw.rsplit(")", 1)[1].split()
+        try:
+            ppid = int(rest[1])
+            jiff = int(rest[11]) + int(rest[12])
+            start = int(rest[19])
+        except (IndexError, ValueError):
+            continue
+        procs[int(entry)] = (ppid, jiff, start)
+    out: dict[tuple[int, int], int] = {}
+    for pid, (ppid, jiff, start) in procs.items():
+        p = pid
+        while p > 1:
+            if p == root_pid:
+                out[(pid, start)] = jiff
+                break
+            p = procs.get(p, (0, 0, 0))[0]
+    return out
+
+
 class LoadMonitor:
-    """Samples box-vs-us CPU attribution around a timed window."""
+    """Samples box-vs-us CPU attribution around a timed window.
+
+    A daemon thread polls the descendant tree every ``sample_interval``
+    seconds and accumulates, per (pid, starttime), the growth of that
+    process's own utime+stime since it was first seen — processes born
+    after the monitor started count from zero (their birth is dated via
+    starttime), processes alive at monitor start count from their
+    first-sample baseline.  ``snapshot()['tree']`` is the accumulated
+    total at that instant (with a forced fresh sample), so differencing
+    two snapshots attributes every descendant's burn inside the window
+    even if the process exited mid-window."""
 
     def __init__(
         self,
         root_pid: int | None = None,
         external_frac_limit: float = 0.125,
         steal_frac_limit: float = 0.02,
+        sample_interval: float = 0.5,
     ):
         self.root_pid = root_pid or os.getpid()
         self.external_frac_limit = external_frac_limit
         self.steal_frac_limit = steal_frac_limit
+        self.sample_interval = sample_interval
+        # jiffies-since-boot now: processes whose starttime is after this
+        # were born under monitoring and count from 0
+        with open("/proc/uptime") as f:
+            self._t0_boot = float(f.read().split()[0]) * _CLK
+        self._acc: dict[tuple[int, int], list[int]] = {}  # key -> [first, last]
+        self._lock = threading.Lock()
+        self._stop_evt = threading.Event()
+        self._sample_once()
+        self._thr = threading.Thread(
+            target=self._loop, daemon=True, name="hostload-sampler"
+        )
+        self._thr.start()
+
+    def _loop(self) -> None:
+        while not self._stop_evt.wait(self.sample_interval):
+            self._sample_once()
+
+    def _sample_once(self) -> None:
+        snap = _walk_tree_self(self.root_pid)
+        with self._lock:
+            for key, jiff in snap.items():
+                entry = self._acc.get(key)
+                if entry is None:
+                    born_under_us = key[1] >= self._t0_boot
+                    self._acc[key] = [0 if born_under_us else jiff, jiff]
+                elif jiff > entry[1]:
+                    entry[1] = jiff
+
+    def _tree_total(self) -> int:
+        self._sample_once()
+        with self._lock:
+            return sum(last - first for first, last in self._acc.values())
+
+    def close(self) -> None:
+        self._stop_evt.set()
 
     def snapshot(self) -> dict:
         busy, steal, iowait, ncpu = _stat_totals()
@@ -109,7 +255,7 @@ class LoadMonitor:
             "iowait": iowait,
             "ncpu": ncpu,
             "load1": load1,
-            "tree": _tree_cpu_jiffies(self.root_pid),
+            "tree": self._tree_total(),
         }
 
     def window(self, before: dict, after: dict) -> dict:
