@@ -298,6 +298,15 @@ def main():
     contaminated = sorted(
         name for name, att in load_ann.items() if not att[-1]["clean"]
     )
+    # memory-bandwidth canary: the host has throttle phases invisible to
+    # CPU attribution (BENCH.md round-5 scaling notes) — record the
+    # copy bandwidth at snapshot end so cross-round comparisons can
+    # classify the window (throttled windows on this box read ~29-30
+    # GiB/s; the figure is a relative phase indicator)
+    from hostload import membw_probe
+
+    membw = round(membw_probe(), 2)
+    log(f"membw canary: {membw} GiB/s")
     out = {
         "metric": "spatial-join + tile-assignment + headline queries, total wall",
         "value": total,
@@ -312,6 +321,7 @@ def main():
         "viterbi_steady_sec": viterbi_steady,
         "load": load_ann,
         "contaminated": contaminated,
+        "membw_gibs": membw,
     }
     spark.stop()
     # keep the on-disk registry manifest fresh (tested by
