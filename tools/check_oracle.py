@@ -23,6 +23,93 @@ TABLES = [
 ]
 
 
+BIG_ROWS = int(os.environ.get("SPARK_GRAFT_ORACLE_BIG_ROWS", "200000"))
+
+
+def _duck_kind(t: str) -> str:
+    t = t.upper()
+    if "INT" in t:
+        return "i"
+    if any(x in t for x in ("DOUBLE", "FLOAT", "REAL", "DECIMAL")):
+        return "f"
+    if "TIMESTAMP" in t or "DATE" in t:
+        return "M"
+    if "BOOL" in t:
+        return "b"
+    return "O"
+
+
+def _arrow_kind(t) -> str:
+    import pyarrow as pa
+
+    if pa.types.is_integer(t):
+        return "i"
+    if pa.types.is_floating(t) or pa.types.is_decimal(t):
+        return "f"
+    if pa.types.is_timestamp(t) or pa.types.is_date(t):
+        return "M"
+    if pa.types.is_boolean(t):
+        return "b"
+    return "O"
+
+
+def _proj(cols_kinds: list[tuple[str, str]], src: str) -> str:
+    """Normalizing projection mirroring normalize(): sorted columns,
+    floats rounded to 9 dp, timestamps at µs, ints widened to BIGINT."""
+    parts = []
+    for c, k in sorted(cols_kinds):
+        if k == "f":
+            parts.append(f'round(CAST("{c}" AS DOUBLE), 9) AS "{c}"')
+        elif k == "M":
+            parts.append(f'CAST("{c}" AS TIMESTAMP) AS "{c}"')
+        elif k == "i":
+            parts.append(f'CAST("{c}" AS BIGINT) AS "{c}"')
+        else:
+            parts.append(f'"{c}"')
+    return f"SELECT {', '.join(parts)} FROM {src}"
+
+
+def compare_big(con, name: str, spark_df, sql: str, n_spark: int) -> str | None:
+    """Set-engine compare for outputs too large for single-threaded pandas
+    sorts (the sf1 sweep's 10M-row entries): register the Spark result as
+    Arrow, materialise the oracle, and let DuckDB prove multiset equality
+    (equal counts + empty bag-difference both ways).  Returns an error
+    string or None on match.  Same normalisation semantics as the pandas
+    path: column order by name, floats at 9 dp, µs timestamps; dtype
+    KINDS must agree (the driver hashes values as-is)."""
+    tbl = spark_df.toArrow()
+    con.register("_te_spark_res", tbl)
+    con.sql(f"CREATE OR REPLACE TEMP TABLE _te_oracle_res AS {sql}")
+    try:
+        a_kinds = [(f.name, _arrow_kind(f.type)) for f in tbl.schema]
+        b_kinds = [
+            (r[0], _duck_kind(r[1]))
+            for r in con.sql("DESCRIBE _te_oracle_res").fetchall()
+        ]
+        if sorted(c for c, _ in a_kinds) != sorted(c for c, _ in b_kinds):
+            return (
+                f"columns {sorted(c for c, _ in a_kinds)} vs "
+                f"{sorted(c for c, _ in b_kinds)}"
+            )
+        if sorted(a_kinds) != sorted(b_kinds):
+            return f"dtype kind mismatch {sorted(a_kinds)} vs {sorted(b_kinds)}"
+        n_oracle = con.sql("SELECT count(*) FROM _te_oracle_res").fetchone()[0]
+        if n_spark != n_oracle:
+            return f"rows {n_spark} vs {n_oracle}"
+        sa = _proj(a_kinds, "_te_spark_res")
+        sb = _proj(b_kinds, "_te_oracle_res")
+        n_diff = con.sql(
+            f"SELECT count(*) FROM (({sa} EXCEPT ALL {sb}) "
+            f"UNION ALL ({sb} EXCEPT ALL {sa}))"
+        ).fetchone()[0]
+        if n_diff:
+            return f"value mismatch: {n_diff} rows differ (bag difference)"
+        return None
+    finally:
+        con.unregister("_te_spark_res")
+        con.sql("DROP TABLE IF EXISTS _te_oracle_res")
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
@@ -69,13 +156,31 @@ def main():
         if only and name not in only:
             continue
         try:
-            sdf = fn(spark, SF_DIR).toPandas()
+            spark_df = fn(spark, SF_DIR)
+            n_spark = spark_df.count()
         except Exception as ex:
             failures.append(name)
             print(f"FAIL  {name}: spark error {str(ex)[:300]}")
             continue
         if name not in osql:
-            print(f"rows  {name}: {len(sdf)} rows (no oracle — rows-only)")
+            print(f"rows  {name}: {n_spark} rows (no oracle — rows-only)")
+            continue
+        if n_spark > BIG_ROWS:
+            try:
+                err = compare_big(con, name, spark_df, osql[name], n_spark)
+            except Exception as ex:
+                err = f"big-compare error {str(ex)[:300]}"
+            if err:
+                failures.append(name)
+                print(f"FAIL  {name}: {err}")
+            else:
+                print(f"OK    {name}: {n_spark} rows (set-engine compare)")
+            continue
+        try:
+            sdf = spark_df.toPandas()
+        except Exception as ex:
+            failures.append(name)
+            print(f"FAIL  {name}: spark error {str(ex)[:300]}")
             continue
         try:
             ddf = con.sql(osql[name]).df()
