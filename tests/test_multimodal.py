@@ -165,3 +165,25 @@ def test_video_real_codec_branch_wiring(monkeypatch):
     frames = M2.decode_video(b"\x00\x00\x00\x18ftypmp42" + b"\x00" * 16)
     assert len(frames) == 2
     assert (decode_png(frames[0]) == 9).all()
+
+
+def test_image_features_match_independent_replay(spark, images_pd):
+    sub = images_pd.head(60)
+    out = MM.image_features(spark.createDataFrame(sub)).toPandas()
+    out = out.set_index("image_id")
+    assert len(out) == 60
+    for r in sub.itertuples():
+        px = decode_image(bytes(r.bytes))
+        g = out.loc[r.image_id]
+        # independent replay of every feature (no shared kernel)
+        assert (int(g.w), int(g.h)) == (px.shape[1], px.shape[0])
+        assert float(g["mean"]) == round(float(np.mean(px.astype(float))), 6)
+        assert float(g["std"]) == round(float(np.std(px.astype(float))), 6)
+        assert (int(g.p_min), int(g.p_max)) == (int(px.min()), int(px.max()))
+        counts = [int(np.sum((px >= lo) & (px < lo + 32))) for lo in range(0, 256, 32)]
+        assert list(g["hist"]) == counts
+        d = np.abs(px[:, 1:].astype(int) - px[:, :-1].astype(int))
+        assert float(g.edge_density) == round(float(np.mean(d >= 16)), 6)
+        assert int(g.phash) == phash64(px)
+    # histogram mass always equals the pixel count
+    assert all(sum(hist) == w * h for hist, w, h in zip(out["hist"], out.w, out.h))

@@ -143,12 +143,16 @@ def main():
         # also gate the pytest-only yardsticks (retired from the driver's
         # capped window; see REGISTRY_MANIFEST.json) against their SQL
         only.discard("--yardsticks")
+        from traffic_engine_spark.oracle.materialize import ensure_yardstick_oracles
         from traffic_engine_spark.queries import YARDSTICKS
 
+        ymat = ensure_yardstick_oracles()
         for yname, (yfn, ysql) in YARDSTICKS.items():
             qs[yname] = yfn
             if ysql is not None:
                 osql[yname] = ysql
+            elif yname in ymat:
+                osql[yname] = ymat[yname]
         if not only:
             only = set(YARDSTICKS)
     failures = []

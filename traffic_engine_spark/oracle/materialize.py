@@ -67,6 +67,13 @@ ENTRIES = [
     "traffic_tile_invariants",
 ]
 
+# Materialized-oracle entries that live in queries.YARDSTICKS (outside the
+# driver's capped window): gated by tools/check_oracle.py --yardsticks and
+# pytest, never surfaced through oracle_sql().
+YARDSTICK_ENTRIES = [
+    "multimodal_image_features",
+]
+
 _CAPTION_RE = re.compile(r"trace=(-?\d+);ts=(-?\d+);lat=([^;]+);lon=([^;]+)")
 
 
@@ -193,6 +200,30 @@ def _compute() -> dict[str, pd.DataFrame]:
         prows, columns=["doc_a", "doc_b", "hamming"]
     ).astype({"hamming": np.int32})
 
+    # --- multimodal_image_features: independent numpy replay of the
+    # feature extractor (stats + 8-bin histogram + edge density + pHash);
+    # the histogram is flattened to scalar columns for the canonicalizer --
+    frows = []
+    for r in images_pd.itertuples(index=False):
+        px = decode_image(bytes(r.bytes))
+        x = px.astype(np.float64)
+        hist = np.bincount((px >> 5).ravel(), minlength=8)
+        d = np.abs(np.diff(px.astype(np.int32), axis=1))
+        edge = round(float((d >= 16).mean()), 6) if px.shape[1] > 1 else 0.0
+        frows.append(
+            (r.image_id, px.shape[1], px.shape[0],
+             round(float(x.mean()), 6), round(float(x.std()), 6),
+             int(px.min()), int(px.max()), *(int(c) for c in hist),
+             edge, phash64(px))
+        )
+    out["multimodal_image_features"] = pd.DataFrame(
+        frows,
+        columns=["image_id", "w", "h", "mean", "std", "p_min", "p_max",
+                 *(f"hist_{i}" for i in range(8)), "edge_density", "phash"],
+    ).astype({c: np.int64 for c in
+              ["w", "h", "p_min", "p_max", "phash",
+               *(f"hist_{i}" for i in range(8))]})
+
     # --- traffic_viterbi_match: the north rule's named HMM kernel --------
     # referee = pyoracle.viterbi_match_oracle (independent cell-index
     # pairing, shared float64 DP core); segments from the ORACLE network
@@ -261,7 +292,8 @@ def ensure_pipeline_oracles() -> dict[str, str]:
     {entry_name: duckdb_oracle_sql}.  Recomputes only when the version
     marker is absent (first run / after a _VERSION bump)."""
     marker = os.path.join(ORACLE_DIR, "_DONE")
-    paths = {n: os.path.join(ORACLE_DIR, f"{n}.parquet") for n in ENTRIES}
+    names = ENTRIES + YARDSTICK_ENTRIES
+    paths = {n: os.path.join(ORACLE_DIR, f"{n}.parquet") for n in names}
     digest = _source_digest()
     fresh = False
     if os.path.exists(marker) and all(os.path.exists(p) for p in paths.values()):
@@ -270,8 +302,19 @@ def ensure_pipeline_oracles() -> dict[str, str]:
     if not fresh:
         os.makedirs(ORACLE_DIR, exist_ok=True)
         expected = _compute()
-        for n in ENTRIES:
+        for n in names:
             expected[n].to_parquet(paths[n], index=False)
         with open(marker, "w") as f:
             f.write(digest)
     return {n: f"SELECT * FROM read_parquet('{paths[n]}')" for n in ENTRIES}
+
+
+def ensure_yardstick_oracles() -> dict[str, str]:
+    """Same materialization pass, but returns the oracle SQL for the
+    pytest-only yardstick entries (consumed by ``check_oracle
+    --yardsticks``; never merged into the driver-facing oracle_sql())."""
+    ensure_pipeline_oracles()
+    return {
+        n: f"SELECT * FROM read_parquet('{os.path.join(ORACLE_DIR, f'{n}.parquet')}')"
+        for n in YARDSTICK_ENTRIES
+    }

@@ -75,6 +75,83 @@ def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# image feature extraction
+# ---------------------------------------------------------------------------
+
+IMAGE_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("w", T.IntegerType(), False),
+        T.StructField("h", T.IntegerType(), False),
+        T.StructField("mean", T.DoubleType(), False),
+        T.StructField("std", T.DoubleType(), False),
+        T.StructField("p_min", T.IntegerType(), False),
+        T.StructField("p_max", T.IntegerType(), False),
+        T.StructField("hist", T.ArrayType(T.LongType(), False), False),
+        T.StructField("edge_density", T.DoubleType(), False),
+        T.StructField("phash", T.LongType(), False),
+    ]
+)
+
+#: intensity histogram bins: value >> 5 → 8 equal-width bins over 0..255
+_HIST_BINS = 8
+#: horizontal-gradient magnitude at or above this counts as an edge pixel
+_EDGE_THRESHOLD = 16
+
+
+def image_feature_row(px: np.ndarray) -> tuple:
+    """(w, h, mean, std, min, max, 8-bin histogram, edge density, phash)
+    of one grayscale uint8 frame.  std is population std; edge density is
+    the fraction of horizontal first differences with |d| >= 16; rounding
+    to 6 decimals makes the doubles stable across accumulation orders.
+    The pytest gate recomputes every feature independently
+    (tests/test_multimodal.py)."""
+    x = px.astype(np.float64)
+    hist = np.bincount((px >> 5).ravel(), minlength=_HIST_BINS)
+    if px.shape[1] > 1:
+        d = np.abs(np.diff(px.astype(np.int32), axis=1))
+        edges = round(float(np.mean(d >= _EDGE_THRESHOLD)), 6)
+    else:
+        edges = 0.0
+    return (
+        int(px.shape[1]),
+        int(px.shape[0]),
+        round(float(x.mean()), 6),
+        round(float(x.std()), 6),
+        int(px.min()),
+        int(px.max()),
+        [int(c) for c in hist],
+        edges,
+        phash64(px),
+    )
+
+
+def image_features(images: DataFrame, id_col: str = "image_id",
+                   bytes_col: str = "bytes") -> DataFrame:
+    """Decode → per-image feature vector (the feature-extract stage of the
+    multimodal checklist: decode / feature-extract / resize / frame-sample).
+    Intensity stats, an 8-bin histogram, a gradient edge-density score, and
+    the 64-bit pHash per image — Arrow-batched mapInPandas, numpy per
+    frame; the input bytes never shuffle (features are born in the map
+    task that read the row)."""
+
+    def run(batches):
+        for pdf in batches:
+            rows = [
+                (getattr(r, id_col),
+                 *image_feature_row(decode_image(bytes(getattr(r, bytes_col)))))
+                for r in pdf.itertuples()
+            ]
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in IMAGE_FEATURE_SCHEMA.fields]
+            )
+
+    return images.select(id_col, bytes_col).mapInPandas(
+        run, schema=IMAGE_FEATURE_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
 # video: deterministic container + frame sampling
 # ---------------------------------------------------------------------------
 

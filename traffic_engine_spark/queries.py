@@ -139,11 +139,11 @@ def q(name: str, sql: str | None):
     return deco
 
 
-# Pytest-only yardsticks: brute-force or redundant variants kept for
-# cross-checking a registered scale path, but excluded from the driver's
-# capped CORRECTNESS window so every driver slot goes to a distinct
-# operator.  Each maps to its scale twin in YARDSTICK_TWINS; the pairs are
-# exercised by tests/test_yardsticks.py and tools/check_oracle.py
+# Pytest-only entries: brute-force/redundant variants kept for
+# cross-checking a registered scale path (each maps to its twin in
+# YARDSTICK_TWINS), plus operators added after the driver's CORRECTNESS
+# window reached its 50-entry cap (no twin; oracle-gated all the same).
+# Exercised by tests/test_yardsticks.py and tools/check_oracle.py
 # --yardsticks.
 YARDSTICKS: dict[str, tuple] = {}
 
@@ -1875,6 +1875,33 @@ def traffic_tile_invariants(spark, sf_dir):
     return TI.tile_assignments_with_invariants(_pipeline(spark)[0])
 
 
+@yq("multimodal_image_features", None)
+def multimodal_image_features(spark, sf_dir):
+    """Image feature extraction (the feature-extract stage of the
+    multimodal checklist): decode → intensity mean/std/min/max, 8-bin
+    histogram, gradient edge density, pHash — Arrow-batched mapInPandas
+    (plans/multimodal.image_features).  Pytest-only: the driver window is
+    at its 50-entry cap; gated instead by check_oracle --yardsticks
+    against an independent numpy replay (oracle/materialize.py,
+    materialized parquet) plus tests/test_multimodal.py.  The histogram
+    array is flattened to hist_0..hist_7 for the canonicalizer."""
+    from .plans import multimodal as MM
+
+    feats = MM.image_features(_pipeline(spark)[0])
+    return feats.select(
+        "image_id",
+        F.col("w").cast("long").alias("w"),
+        F.col("h").cast("long").alias("h"),
+        "mean",
+        "std",
+        F.col("p_min").cast("long").alias("p_min"),
+        F.col("p_max").cast("long").alias("p_max"),
+        *[F.col("hist")[i].alias(f"hist_{i}") for i in range(8)],
+        "edge_density",
+        "phash",
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -1958,13 +1985,21 @@ def registry_manifest() -> list[dict]:
                 "scale_twin": None,
             }
         )
+    from .oracle.materialize import YARDSTICK_ENTRIES as _Y_MATERIALIZED
+
     for name, (fn, sql) in YARDSTICKS.items():
+        if sql is not None:
+            ykind = "inline_sql"
+        elif name in _Y_MATERIALIZED:
+            ykind = "materialized_parquet"
+        else:
+            ykind = "rows_only"
         rows.append(
             {
                 "name": name,
                 "position": None,
                 "driver_visible": False,
-                "oracle": "inline_sql" if sql is not None else "rows_only",
+                "oracle": ykind,
                 "yardstick": True,
                 "scale_twin": YARDSTICK_TWINS.get(name),
             }
