@@ -792,8 +792,9 @@ def semantic_dedup(
     keep ONE representative per transitive duplicate group.  Composition
     of the engine's existing scale pieces — IVF-blocked cosine pairs
     (`embedding_ivf_pairs`: candidates never leave their cells, exact
-    verify) + min-label connected components (`graph.connected_components`)
-    — so the 100-TB shape is inherited, not re-derived.
+    verify) + `graph.dedup_resolution` (min-label components with the
+    star-contraction chain-graph fallback) — so the 100-TB shape is
+    inherited, not re-derived.
 
     Returns one row per INPUT vector: (vec_id, component_id, keep) —
     singletons are their own component with keep=true.  The keeper is the
@@ -805,17 +806,20 @@ def semantic_dedup(
     ``assign_top`` > 1 (multi-assignment / nprobe) trades extra candidate
     pairs for recall across cell boundaries, exactly as in
     `embedding_ivf_pairs`."""
-    from .graph import connected_components
+    from .graph import dedup_resolution
 
     pairs = embedding_ivf_pairs(
         emb, centroids, min_cosine, assign_top, id_col, vec_col
     )
-    comp = connected_components(pairs, src="id_a", dst="id_b")
+    # dedup_resolution = label propagation with the star-contraction
+    # fallback, so a chain-shaped duplicate graph resolves instead of
+    # aborting (same keep rule: minimum id per component)
+    res = dedup_resolution(pairs, id_a="id_a", id_b="id_b")
     ids = emb.select(F.col(id_col).alias("vec_id"))
     return ids.join(
-        comp.withColumnRenamed("node", "vec_id"), "vec_id", "left"
+        res.withColumnRenamed("doc_id", "vec_id"), "vec_id", "left"
     ).select(
         "vec_id",
-        F.coalesce("component", F.col("vec_id")).alias("component_id"),
-        (F.coalesce("component", F.col("vec_id")) == F.col("vec_id")).alias("keep"),
+        F.coalesce("component_id", F.col("vec_id")).alias("component_id"),
+        F.coalesce("keep", F.lit(True)).alias("keep"),
     )
