@@ -155,6 +155,39 @@ def main():
     D.embedding_lsh_pairs(emb64, min_cosine=0.3).count()
     log(f"warmup {time.time() - t0:.1f}s")
 
+    # --- page-fault-throttle gate ------------------------------------------
+    # The host has throttle phases where page ALLOCATION runs 100-500x
+    # slower (first-touch 0.02-0.04 GiB/s vs multi-GiB/s clean) while CPU
+    # attribution AND the steady copy rate stay clean-looking — the phase
+    # the round-4/5 "2-6x slower, no signal" regressions landed in
+    # (BENCH.md).  Spark allocates pages continuously, so a snapshot taken
+    # inside such a phase measures the host, not the code.  Wait (bounded,
+    # disclosed) for the fault rate to recover before starting the timed
+    # entries; if the budget runs out, proceed and mark the snapshot.
+    from hostload import fault_probe
+
+    fault_min = float(os.environ.get("SPARK_GRAFT_FAULT_MIN", "0.5"))
+    fault_wait = float(os.environ.get("SPARK_GRAFT_FAULT_WAIT", "600"))
+    fault_attempts: list[float] = []
+    deadline = time.time() + fault_wait
+    while True:
+        fr = round(fault_probe(), 3)
+        fault_attempts.append(fr)
+        if fr >= fault_min:
+            break
+        if time.time() >= deadline:
+            log(f"fault gate: wait budget exhausted at {fr} GiB/s — "
+                "proceeding; snapshot marked throttled_at_start")
+            break
+        log(f"fault gate: first-touch {fr} GiB/s < {fault_min} — "
+            "page-allocation throttle phase, waiting 30 s")
+        time.sleep(30)
+    fault_gate = {
+        "min_gibs": fault_min,
+        "attempts": fault_attempts,
+        "throttled_at_start": fault_attempts[-1] < fault_min,
+    }
+
     # --- network build (small; timed) -------------------------------------
     import pandas as _pd
 
@@ -298,15 +331,14 @@ def main():
     contaminated = sorted(
         name for name, att in load_ann.items() if not att[-1]["clean"]
     )
-    # memory-bandwidth canary: the host has throttle phases invisible to
-    # CPU attribution (BENCH.md round-5 scaling notes) — record the
-    # copy bandwidth at snapshot end so cross-round comparisons can
-    # classify the window (throttled windows on this box read ~29-30
-    # GiB/s; the figure is a relative phase indicator)
+    # end-of-run canaries: steady copy bandwidth (bounds the window; both
+    # clean and mildly-throttled phases read ~30 GiB/s) and the first-touch
+    # fault rate (THE phase discriminator — see the gate above)
     from hostload import membw_probe
 
     membw = round(membw_probe(), 2)
-    log(f"membw canary: {membw} GiB/s")
+    fault_end = round(fault_probe(), 3)
+    log(f"canaries: membw {membw} GiB/s, first-touch {fault_end} GiB/s")
     out = {
         "metric": "spatial-join + tile-assignment + headline queries, total wall",
         "value": total,
@@ -322,6 +354,8 @@ def main():
         "load": load_ann,
         "contaminated": contaminated,
         "membw_gibs": membw,
+        "fault_gibs_end": fault_end,
+        "fault_gate": fault_gate,
     }
     spark.stop()
     # keep the on-disk registry manifest fresh (tested by

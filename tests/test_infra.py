@@ -1784,3 +1784,17 @@ def test_dedup_resolution_falls_back_to_star_on_chains(spark):
     assert len(out) == 201
     assert (out["component_id"] == 0).all()
     assert out[out.keep]["doc_id"].tolist() == [0]
+
+
+def test_fault_probe_returns_positive_rate():
+    """hostload.fault_probe: first-touch throughput is a positive finite
+    GiB/s figure at any probe size (no timing threshold — the host's
+    throttle phases are exactly what it exists to measure)."""
+    import sys as _sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    _sys.path.insert(0, os.path.join(repo, "tools"))
+    from hostload import fault_probe
+
+    r = fault_probe(mb=32)
+    assert r > 0.0 and r < 1e6

@@ -97,6 +97,29 @@ def membw_probe(threads: int = 4, mb: int = 512, seconds: float = 2.5) -> float:
     return sum(moved) / (time.time() - t0) / (1 << 30)
 
 
+def fault_probe(mb: int = 256) -> float:
+    """First-touch page-fault throughput (GiB/s): allocate ``mb`` MiB and
+    write every page once (np.ones), return MiB faulted per second.
+
+    THE discriminator for this VM's throttle phases: during the
+    2026-08-17 deep phase the 4-thread copy rate still read a clean-level
+    30 GiB/s while first-touch ran at 0.02-0.04 GiB/s (100-500x below
+    the multi-GiB/s clean rate) — i.e. the host throttles page
+    ALLOCATION (ballooning / overcommit reclaim), not the bandwidth of
+    already-resident memory.  That is exactly the resource a Spark job
+    consumes continuously (shuffle buffers, Arrow batches, Python
+    workers, page cache), which is why identical code ran 2-6x slower
+    with external CPU ~0 and steal under 2%.  Clean windows on this box
+    fault at several GiB/s; anything under ~0.5 is a throttle phase."""
+    import numpy as np
+
+    t0 = time.time()
+    buf = np.ones(mb * 1024 * 1024 // 8, dtype=np.int64)
+    dt = max(time.time() - t0, 1e-9)
+    del buf
+    return mb / 1024.0 / dt
+
+
 def _stat_totals() -> tuple[int, int, int, int]:
     """(busy, steal, iowait, ncpu) jiffies from /proc/stat cpu line.
 

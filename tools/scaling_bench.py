@@ -168,19 +168,27 @@ def main():
         # (single-exec walls barely move).  external_frac > ~2% during a
         # phase means the efficiency number reflects the window, not the
         # engine; re-run in a calm window.
-        from hostload import LoadMonitor
+        from hostload import LoadMonitor, fault_probe
 
         mon = LoadMonitor()
+        fault_pre = round(fault_probe(), 3)
         h0 = mon.snapshot()
         single = json.loads(
             subprocess.run(["taskset", "-c", "0-1", sys.executable, __file__,
                             "--child", "2", "--traces", str(d)],
                            capture_output=True, text=True, cwd=repo).stdout.strip().splitlines()[-1])
         h1 = mon.snapshot()
+        fault_mid = round(fault_probe(), 3)
         procs = [spawn(i * 2, i * 2 + 1, i * d) for i in range(nexec)]
         outs = [json.loads(p.communicate()[0].strip().splitlines()[-1]) for p in procs]
         h2 = mon.snapshot()
-        load = {"single_phase": mon.window(h0, h1), "multi_phase": mon.window(h1, h2)}
+        fault_post = round(fault_probe(), 3)
+        load = {"single_phase": mon.window(h0, h1), "multi_phase": mon.window(h1, h2),
+                # first-touch page-fault rate (GiB/s) around each phase —
+                # the host-throttle discriminator CPU attribution misses
+                # (hostload.fault_probe; clean = several GiB/s, throttle
+                # phase = 0.02-0.04)
+                "fault_gibs": [fault_pre, fault_mid, fault_post]}
         slowest = max(o["wall_sec"] for o in outs)
         weak = single["wall_sec"] / slowest
         agg_rows = sum(o["rows"] for o in outs)
