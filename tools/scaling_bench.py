@@ -170,15 +170,33 @@ def main():
         # engine; re-run in a calm window.
         from hostload import LoadMonitor, fault_probe
 
+        def wait_fault_calm(tag: str, min_gibs: float = 1.0,
+                            budget_s: float = 900.0) -> float:
+            """Hold the phase start until the host's first-touch fault rate
+            recovers (the throttle phases oscillate on minutes — starting
+            inside one measures the host, not the engine).  Bounded +
+            disclosed, same contract as bench.py's gate."""
+            deadline = time.time() + budget_s
+            while True:
+                fr = round(fault_probe(), 3)
+                if fr >= min_gibs or time.time() >= deadline:
+                    if fr < min_gibs:
+                        print(f"{tag}: fault-gate budget exhausted at {fr} "
+                              "GiB/s — proceeding throttled", file=sys.stderr)
+                    return fr
+                print(f"{tag}: first-touch {fr} GiB/s < {min_gibs} — waiting 30 s",
+                      file=sys.stderr)
+                time.sleep(30)
+
         mon = LoadMonitor()
-        fault_pre = round(fault_probe(), 3)
+        fault_pre = wait_fault_calm("single_phase")
         h0 = mon.snapshot()
         single = json.loads(
             subprocess.run(["taskset", "-c", "0-1", sys.executable, __file__,
                             "--child", "2", "--traces", str(d)],
                            capture_output=True, text=True, cwd=repo).stdout.strip().splitlines()[-1])
         h1 = mon.snapshot()
-        fault_mid = round(fault_probe(), 3)
+        fault_mid = wait_fault_calm("multi_phase")
         procs = [spawn(i * 2, i * 2 + 1, i * d) for i in range(nexec)]
         outs = [json.loads(p.communicate()[0].strip().splitlines()[-1]) for p in procs]
         h2 = mon.snapshot()
