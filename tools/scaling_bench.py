@@ -170,8 +170,11 @@ def main():
         # engine; re-run in a calm window.
         from hostload import LoadMonitor, fault_probe
 
-        def wait_fault_calm(tag: str, min_gibs: float = 1.0,
-                            budget_s: float = 900.0) -> float:
+        def wait_fault_calm(
+            tag: str,
+            min_gibs: float = float(os.environ.get("SPARK_GRAFT_FAULT_MIN", "1.0")),
+            budget_s: float = float(os.environ.get("SPARK_GRAFT_FAULT_WAIT", "900")),
+        ) -> float:
             """Hold the phase start until the host's first-touch fault rate
             recovers (the throttle phases oscillate on minutes — starting
             inside one measures the host, not the engine).  Bounded +
