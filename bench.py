@@ -73,24 +73,33 @@ def main():
     max_attempts = 1 + int(os.environ.get("SPARK_GRAFT_LOAD_RETRIES", "2"))
 
     calm_wait_s = float(os.environ.get("SPARK_GRAFT_LOAD_WAIT", "60"))
+    fault_min = float(os.environ.get("SPARK_GRAFT_FAULT_MIN", "0.5"))
+    fault_wait = float(os.environ.get("SPARK_GRAFT_FAULT_WAIT", "600"))
+    from hostload import fault_probe
 
     def _wait_calm():
         """The documented stall phases last minutes; an immediate re-run
         lands inside the same phase.  Poll short idle probes until the
-        box looks calm (or the wait budget runs out — then try anyway
-        and let the annotation record the contamination)."""
+        box looks calm — CPU-clean AND page-fault rate recovered — or
+        the wait budget runs out (then try anyway and let the annotation
+        record the contamination)."""
         deadline = time.time() + calm_wait_s
         while time.time() < deadline:
             s0 = mon.snapshot()
             time.sleep(3)
-            if mon.window(s0, mon.snapshot())["clean"]:
+            if (mon.window(s0, mon.snapshot())["clean"]
+                    and fault_probe(mb=64) >= fault_min):
                 return True
         return False
 
     def timed(name: str, fn):
         """Run fn() in a load-attributed window; re-run on contamination.
         fn must rebuild its DataFrames from scratch (fresh plan, fresh
-        shuffles) so a re-run measures the same work, not warm leftovers."""
+        shuffles) so a re-run measures the same work, not warm leftovers.
+        Contamination = external CPU / steal over their limits OR the
+        first-touch fault rate below fault_min right after the entry (a
+        throttle phase opening mid-run inflated BENCH_r04 entries with
+        zero CPU signal — the 64 MiB probe costs ~0.02 s clean)."""
         result = None
         for attempt in range(max_attempts):
             s0 = mon.snapshot()
@@ -98,12 +107,17 @@ def main():
             result = fn()
             wall = round(time.time() - t0, 3)
             w = mon.window(s0, mon.snapshot())
-            load_ann.setdefault(name, []).append({"sec": wall, **w})
-            if w["clean"]:
+            fr = round(fault_probe(mb=64), 3)
+            ok = w["clean"] and fr >= fault_min
+            load_ann.setdefault(name, []).append(
+                {"sec": wall, **w, "fault_gibs": fr, "clean": ok}
+            )
+            if ok:
                 break
             log(
                 f"{name}: contaminated window (ext={w['external_frac']}, "
-                f"steal={w['steal_frac']}, load1={w['load1']}) — re-running"
+                f"steal={w['steal_frac']}, fault={fr}, load1={w['load1']})"
+                " — re-running"
             )
             if attempt < max_attempts - 1:
                 _wait_calm()
@@ -164,10 +178,6 @@ def main():
     # inside such a phase measures the host, not the code.  Wait (bounded,
     # disclosed) for the fault rate to recover before starting the timed
     # entries; if the budget runs out, proceed and mark the snapshot.
-    from hostload import fault_probe
-
-    fault_min = float(os.environ.get("SPARK_GRAFT_FAULT_MIN", "0.5"))
-    fault_wait = float(os.environ.get("SPARK_GRAFT_FAULT_WAIT", "600"))
     fault_attempts: list[float] = []
     deadline = time.time() + fault_wait
     while True:
