@@ -74,21 +74,23 @@ def main():
 
     calm_wait_s = float(os.environ.get("SPARK_GRAFT_LOAD_WAIT", "60"))
     fault_min = float(os.environ.get("SPARK_GRAFT_FAULT_MIN", "0.5"))
-    fault_wait = float(os.environ.get("SPARK_GRAFT_FAULT_WAIT", "600"))
-    from hostload import fault_probe
+    fault_wait = float(os.environ.get("SPARK_GRAFT_FAULT_WAIT", "180"))
+    from hostload import fault_probe, fault_ramp
 
     def _wait_calm():
         """The documented stall phases last minutes; an immediate re-run
-        lands inside the same phase.  Poll short idle probes until the
-        box looks calm — CPU-clean AND page-fault rate recovered — or
-        the wait budget runs out (then try anyway and let the annotation
-        record the contamination)."""
+        lands inside the same phase.  Wait out external CPU (that we can
+        only wait on), but RAMP the page-fault credit (which waiting
+        would preserve — hostload.fault_ramp).  Bounded; on budget
+        exhaustion try anyway and let the annotation record it."""
         deadline = time.time() + calm_wait_s
         while time.time() < deadline:
             s0 = mon.snapshot()
             time.sleep(3)
-            if (mon.window(s0, mon.snapshot())["clean"]
-                    and fault_probe(mb=64) >= fault_min):
+            if not mon.window(s0, mon.snapshot())["clean"]:
+                continue
+            fr, _, _ = fault_ramp(fault_min, max(deadline - time.time(), 5.0))
+            if fr >= fault_min:
                 return True
         return False
 
@@ -107,7 +109,11 @@ def main():
             result = fn()
             wall = round(time.time() - t0, 3)
             w = mon.window(s0, mon.snapshot())
-            fr = round(fault_probe(mb=64), 3)
+            # max of two back-to-back probes: the credit is per-process
+            # and the driver idles while the JVM works, so a single cold
+            # probe can under-read a healthy window (the second probe
+            # rides the first's pressure); a real phase reads low twice
+            fr = round(max(fault_probe(mb=64), fault_probe(mb=64)), 3)
             ok = w["clean"] and fr >= fault_min
             load_ann.setdefault(name, []).append(
                 {"sec": wall, **w, "fault_gibs": fr, "clean": ok}
@@ -175,27 +181,23 @@ def main():
     # attribution AND the steady copy rate stay clean-looking — the phase
     # the round-4/5 "2-6x slower, no signal" regressions landed in
     # (BENCH.md).  Spark allocates pages continuously, so a snapshot taken
-    # inside such a phase measures the host, not the code.  Wait (bounded,
-    # disclosed) for the fault rate to recover before starting the timed
-    # entries; if the budget runs out, proceed and mark the snapshot.
-    fault_attempts: list[float] = []
-    deadline = time.time() + fault_wait
-    while True:
-        fr = round(fault_probe(), 3)
-        fault_attempts.append(fr)
-        if fr >= fault_min:
-            break
-        if time.time() >= deadline:
-            log(f"fault gate: wait budget exhausted at {fr} GiB/s — "
-                "proceeding; snapshot marked throttled_at_start")
-            break
-        log(f"fault gate: first-touch {fr} GiB/s < {fault_min} — "
-            "page-allocation throttle phase, waiting 30 s")
-        time.sleep(30)
+    # inside such a phase measures the host, not the code.  The throttle
+    # is REACTIVE (hostload.fault_ramp): allocating through it lifts it,
+    # idling preserves it — so RAMP (bounded, disclosed) instead of
+    # waiting; on budget exhaustion proceed and mark the snapshot.
+    fr, ramp_s, ramp_loops = fault_ramp(fault_min, fault_wait)
+    if fr < fault_min:
+        log(f"fault gate: ramp budget exhausted at {fr} GiB/s after "
+            f"{ramp_s} s — proceeding; snapshot marked throttled_at_start")
+    elif ramp_loops > 1:
+        log(f"fault gate: ramped to {fr} GiB/s in {ramp_s} s "
+            f"({ramp_loops} loops)")
     fault_gate = {
         "min_gibs": fault_min,
-        "attempts": fault_attempts,
-        "throttled_at_start": fault_attempts[-1] < fault_min,
+        "final_gibs": round(fr, 3),
+        "ramp_sec": ramp_s,
+        "ramp_loops": ramp_loops,
+        "throttled_at_start": fr < fault_min,
     }
 
     # --- network build (small; timed) -------------------------------------

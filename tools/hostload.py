@@ -120,6 +120,28 @@ def fault_probe(mb: int = 256) -> float:
     return mb / 1024.0 / dt
 
 
+def fault_ramp(min_gibs: float = 1.0, budget_s: float = 120.0,
+               mb: int = 256) -> tuple[float, float, int]:
+    """Actively ramp the host's page-allocation throughput and return
+    (final rate GiB/s, seconds spent, probe loops).
+
+    Measured 2026-08-17: the throttle is REACTIVE — a cold allocator
+    faults at 0.02-0.05 GiB/s, ~45 s of sustained first-touches ramps
+    the same process to 3-4 GiB/s, and 20 s of idleness drops it back
+    to ~0.1 (credit is mostly per-process: a fresh process after the
+    ramp reads ~0.36).  Passively sleeping between probes therefore
+    PRESERVES the throttle; allocating through it lifts it.  This
+    hot-loops the probe (each probe IS 256 MiB of pressure) until the
+    rate recovers or the budget runs out."""
+    t0 = time.time()
+    loops = 0
+    while True:
+        rate = fault_probe(mb=mb)
+        loops += 1
+        if rate >= min_gibs or time.time() - t0 >= budget_s:
+            return rate, round(time.time() - t0, 1), loops
+
+
 def _stat_totals() -> tuple[int, int, int, int]:
     """(busy, steal, iowait, ncpu) jiffies from /proc/stat cpu line.
 

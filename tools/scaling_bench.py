@@ -44,7 +44,19 @@ def run_child(cpus: int, traces: int, offset: int = 0, paths: list | None = None
     from traffic_engine_spark.plans import stats as S
     from traffic_engine_spark.plans import tiles as TI
 
-    spark = get_spark(app_name=f"scaling-{cpus}", cores=cpus, shuffle_partitions=cpus)
+    # Pre-touch the heap (same protocol as bench.py): the host throttles
+    # cold per-process page allocation (hostload.fault_ramp), and a fresh
+    # executor JVM otherwise faults its working set through that cold
+    # credit INSIDE the timed section — with four concurrent JVMs this
+    # alone produced 4-5x multi-phase walls (ledger #19).  AlwaysPreTouch
+    # moves the fault storm into the un-timed startup window, where it
+    # also serves as the ramp.
+    spark = get_spark(
+        app_name=f"scaling-{cpus}", cores=cpus, shuffle_partitions=cpus,
+        extra_conf={
+            "spark.driver.extraJavaOptions": "-Xms16g -XX:+AlwaysPreTouch"
+        },
+    )
     if paths is None:
         suffix = f"_off{offset}" if offset else ""
         paths = [ensure_bench_images(
@@ -168,28 +180,27 @@ def main():
         # (single-exec walls barely move).  external_frac > ~2% during a
         # phase means the efficiency number reflects the window, not the
         # engine; re-run in a calm window.
-        from hostload import LoadMonitor, fault_probe
+        from hostload import LoadMonitor, fault_probe, fault_ramp
 
         def wait_fault_calm(
             tag: str,
             min_gibs: float = float(os.environ.get("SPARK_GRAFT_FAULT_MIN", "1.0")),
-            budget_s: float = float(os.environ.get("SPARK_GRAFT_FAULT_WAIT", "900")),
+            budget_s: float = float(os.environ.get("SPARK_GRAFT_FAULT_WAIT", "180")),
         ) -> float:
-            """Hold the phase start until the host's first-touch fault rate
-            recovers (the throttle phases oscillate on minutes — starting
-            inside one measures the host, not the engine).  Bounded +
-            disclosed, same contract as bench.py's gate."""
-            deadline = time.time() + budget_s
-            while True:
-                fr = round(fault_probe(), 3)
-                if fr >= min_gibs or time.time() >= deadline:
-                    if fr < min_gibs:
-                        print(f"{tag}: fault-gate budget exhausted at {fr} "
-                              "GiB/s — proceeding throttled", file=sys.stderr)
-                    return fr
-                print(f"{tag}: first-touch {fr} GiB/s < {min_gibs} — waiting 30 s",
-                      file=sys.stderr)
-                time.sleep(30)
+            """RAMP the host's page-allocation credit before the phase
+            starts: the throttle is reactive (hostload.fault_ramp), so
+            allocating through it lifts it where passive waiting would
+            preserve it.  Bounded + disclosed, same contract as
+            bench.py's gate."""
+            fr, spent, loops = fault_ramp(min_gibs, budget_s)
+            if fr < min_gibs:
+                print(f"{tag}: fault ramp budget exhausted at {fr} GiB/s "
+                      f"after {spent} s / {loops} loops — proceeding "
+                      "throttled", file=sys.stderr)
+            elif loops > 1:
+                print(f"{tag}: fault rate ramped to {fr} GiB/s in {spent} s "
+                      f"({loops} loops)", file=sys.stderr)
+            return fr
 
         mon = LoadMonitor()
         fault_pre = wait_fault_calm("single_phase")
