@@ -145,11 +145,43 @@ def main():
     log(f"bench images rows: {n_images}")
 
     # warmup: pre-fork Python workers + touch every testdata table so the
-    # timed sections measure the operators, not JVM/worker cold start
+    # timed sections measure the operators, not JVM/worker cold start.
+    # The worker warm-up also RAMPS each worker's page-allocation credit:
+    # the throttle is per-process (hostload.fault_probe_fresh), so the
+    # driver-side fault gate below cannot clear the freshly forked
+    # pyspark workers that allocate Arrow/pandas buffers inside the timed
+    # entries.  Bounded (clean window: one 32 MiB slab, <0.1 s/worker).
     t0 = time.time()
-    spark.range(1000, numPartitions=cpus).mapInPandas(
-        lambda it: it, schema="id long"
-    ).count()
+    _ramp_min = float(os.environ.get("SPARK_GRAFT_FAULT_MIN", "1.0"))
+    _ramp_budget = float(os.environ.get("SPARK_GRAFT_WORKER_RAMP", "60"))
+
+    def _worker_ramp(it):
+        import time as _t
+
+        import numpy as _np
+        import pandas as _pd
+
+        t_start = _t.time()
+        rate = 0.0
+        while _t.time() - t_start < _ramp_budget:
+            s = _t.time()
+            buf = _np.ones(32 * 1024 * 1024 // 8, dtype=_np.int64)
+            rate = 32 / 1024.0 / max(_t.time() - s, 1e-9)
+            del buf
+            if rate >= _ramp_min:
+                break
+        for _ in it:
+            pass
+        yield _pd.DataFrame({"gibs": [round(rate, 3)]})
+
+    worker_ramps = sorted(
+        r["gibs"]
+        for r in spark.range(cpus, numPartitions=cpus)
+        .mapInPandas(_worker_ramp, schema="gibs double")
+        .collect()
+    )
+    log(f"worker ramps (GiB/s): min {worker_ramps[0]}, "
+        f"median {worker_ramps[len(worker_ramps) // 2]}")
     for t in ("lineitem", "orders", "customer", "events", "documents", "embeddings"):
         # full-column pre-fault, not count(): count() reads only footers,
         # and a cold page cache (e.g. after a long unrelated run evicted
@@ -368,6 +400,10 @@ def main():
         "membw_gibs": membw,
         "fault_gibs_end": fault_end,
         "fault_gate": fault_gate,
+        "worker_ramp_gibs": {
+            "min": worker_ramps[0],
+            "median": worker_ramps[len(worker_ramps) // 2],
+        },
     }
     spark.stop()
     # keep the on-disk registry manifest fresh (tested by

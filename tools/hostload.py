@@ -120,6 +120,32 @@ def fault_probe(mb: int = 256) -> float:
     return mb / 1024.0 / dt
 
 
+def fault_probe_fresh(mb: int = 256) -> float:
+    """First-touch fault rate (GiB/s) measured in a FRESH subprocess.
+
+    The throttle credit is per-process (fault_ramp docstring), so an
+    in-process probe after any ramp reads the CALLER's earned credit —
+    which is not what a newly spawned executor JVM or forked pyspark
+    worker will experience.  Measured 2026-08-17 (this round): parent
+    probes read 2.5-4 GiB/s in the same minute a fresh `np.ones(200MB)`
+    subprocess ran at 0.056 GiB/s and scaling walls inflated 1.5-2x
+    with CPU attribution clean.  This is the cold-credit discriminator:
+    clean windows read several GiB/s fresh; under ~0.5 is a throttle
+    phase that will hit every process the benchmark spawns."""
+    import subprocess
+    import sys
+
+    code = (
+        f"import time, numpy as np\n"
+        f"t0 = time.time()\n"
+        f"buf = np.ones({mb} * 1024 * 1024 // 8, dtype=np.int64)\n"
+        f"print({mb} / 1024.0 / max(time.time() - t0, 1e-9))\n"
+    )
+    out = subprocess.run([sys.executable, "-c", code],
+                         capture_output=True, text=True, timeout=600)
+    return round(float(out.stdout.strip()), 3)
+
+
 def fault_ramp(min_gibs: float = 1.0, budget_s: float = 120.0,
                mb: int = 256) -> tuple[float, float, int]:
     """Actively ramp the host's page-allocation throughput and return

@@ -50,11 +50,16 @@ def run_child(cpus: int, traces: int, offset: int = 0, paths: list | None = None
     # credit INSIDE the timed section — with four concurrent JVMs this
     # alone produced 4-5x multi-phase walls (ledger #19).  AlwaysPreTouch
     # moves the fault storm into the un-timed startup window, where it
-    # also serves as the ramp.
+    # also serves as the ramp.  Heap size is env-tunable so K concurrent
+    # children fit in RAM (the --executors parent shrinks it for K=8:
+    # 8 x 16g would exceed this box's 125 GiB).
+    heap_gb = int(os.environ.get("SPARK_GRAFT_CHILD_HEAP_GB", "16"))
+    os.environ.setdefault("SPARK_DRIVER_MEM", f"{heap_gb}g")
     spark = get_spark(
         app_name=f"scaling-{cpus}", cores=cpus, shuffle_partitions=cpus,
         extra_conf={
-            "spark.driver.extraJavaOptions": "-Xms16g -XX:+AlwaysPreTouch"
+            "spark.driver.extraJavaOptions":
+                f"-Xms{heap_gb}g -XX:+AlwaysPreTouch"
         },
     )
     if paths is None:
@@ -73,8 +78,44 @@ def run_child(cpus: int, traces: int, offset: int = 0, paths: list | None = None
     ways, nodes = bench_network(spark)
     segs, tls, jumpers = N.build_network_tables(spark, ways, nodes)
     tls.count()
-    # warm python workers so both levels pay the same fixed cost
-    spark.range(1000, numPartitions=cpus).mapInPandas(lambda it: it, schema="id long").count()
+    # Warm python workers so both levels pay the same fixed cost — and
+    # RAMP each worker's page-allocation credit while we are at it.  The
+    # host throttle is per-process and reactive (hostload.fault_ramp /
+    # fault_probe_fresh): AlwaysPreTouch ramps the JVM, but pyspark
+    # workers fork fresh and allocate Arrow/pandas buffers continuously
+    # INSIDE the timed section; in a throttle phase a cold worker faults
+    # at 0.02-0.06 GiB/s, which alone reproduces the observed 1.5-2x
+    # wall inflation on CPU-clean windows.  Bounded: each worker
+    # allocates 32 MiB slabs until its rate recovers or the budget runs
+    # out, in the UN-timed window (clean window: one slab, <0.1 s).
+    ramp_min = float(os.environ.get("SPARK_GRAFT_FAULT_MIN", "1.0"))
+    ramp_budget = float(os.environ.get("SPARK_GRAFT_WORKER_RAMP", "60"))
+
+    def _worker_ramp(it):
+        import time as _t
+
+        import numpy as _np
+        import pandas as _pd
+
+        t0 = _t.time()
+        rate = 0.0
+        while _t.time() - t0 < ramp_budget:
+            s = _t.time()
+            buf = _np.ones(32 * 1024 * 1024 // 8, dtype=_np.int64)
+            rate = 32 / 1024.0 / max(_t.time() - s, 1e-9)
+            del buf
+            if rate >= ramp_min:
+                break
+        for _ in it:
+            pass
+        yield _pd.DataFrame({"gibs": [round(rate, 3)]})
+
+    ramp_rates = sorted(
+        r["gibs"]
+        for r in spark.range(cpus, numPartitions=cpus)
+        .mapInPandas(_worker_ramp, schema="gibs double")
+        .collect()
+    )
 
     t0 = time.time()
     crossings, samples = M.run_pipeline(spark, images, tls, segs, jumpers)
@@ -88,6 +129,7 @@ def run_child(cpus: int, traces: int, offset: int = 0, paths: list | None = None
         "rows": n_images + n_tiles,
         "rows_per_sec": int((n_images + n_tiles) / wall),
         "hist_rows": n_hist,
+        "worker_ramp_gibs": ramp_rates,
     }
 
 
@@ -153,6 +195,21 @@ def main():
         if "--nexec" in sys.argv:
             nexec = int(sys.argv[sys.argv.index("--nexec") + 1])
         assert 2 * nexec <= os.cpu_count(), "not enough cores to pin"
+        # Size the pre-touched child heaps so ALL phases fit in RAM with
+        # headroom for /dev/shm shuffle dirs and the page cache: cap the
+        # K-JVM aggregate at ~55% of MemTotal (8 x 16g on a 125 GiB box
+        # would otherwise OOM or swap, voiding the measurement).
+        if "SPARK_GRAFT_CHILD_HEAP_GB" not in os.environ:
+            mem_kb = 0
+            with open("/proc/meminfo") as f:
+                for line in f:
+                    if line.startswith("MemTotal:"):
+                        mem_kb = int(line.split()[1])
+                        break
+            cap = max(4, int(mem_kb / 1024 / 1024 * 0.55 / nexec))
+            os.environ["SPARK_GRAFT_CHILD_HEAP_GB"] = str(min(16, cap))
+        print(f"child heap: {os.environ['SPARK_GRAFT_CHILD_HEAP_GB']}g x "
+              f"{nexec} executors", file=sys.stderr)
         repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         d = traces // 4
 
@@ -180,7 +237,13 @@ def main():
         # (single-exec walls barely move).  external_frac > ~2% during a
         # phase means the efficiency number reflects the window, not the
         # engine; re-run in a calm window.
-        from hostload import LoadMonitor, fault_probe, fault_ramp
+        from hostload import (
+            LoadMonitor,
+            fault_probe,
+            fault_probe_fresh,
+            fault_ramp,
+            membw_probe,
+        )
 
         def wait_fault_calm(
             tag: str,
@@ -203,6 +266,7 @@ def main():
             return fr
 
         mon = LoadMonitor()
+        fault_fresh_pre = fault_probe_fresh()
         fault_pre = wait_fault_calm("single_phase")
         h0 = mon.snapshot()
         single = json.loads(
@@ -215,12 +279,21 @@ def main():
         outs = [json.loads(p.communicate()[0].strip().splitlines()[-1]) for p in procs]
         h2 = mon.snapshot()
         fault_post = round(fault_probe(), 3)
+        fault_fresh_post = fault_probe_fresh()
+        membw_end = round(membw_probe(), 2)
         load = {"single_phase": mon.window(h0, h1), "multi_phase": mon.window(h1, h2),
                 # first-touch page-fault rate (GiB/s) around each phase —
                 # the host-throttle discriminator CPU attribution misses
                 # (hostload.fault_probe; clean = several GiB/s, throttle
                 # phase = 0.02-0.04)
-                "fault_gibs": [fault_pre, fault_mid, fault_post]}
+                "fault_gibs": [fault_pre, fault_mid, fault_post],
+                # COLD-credit probes: the per-process throttle means the
+                # in-parent numbers above read the parent's earned credit,
+                # not what freshly spawned JVMs/workers experience
+                # (hostload.fault_probe_fresh) — these are the window
+                # classifiers; the in-child worker ramps are the mitigation
+                "fault_fresh_gibs": [fault_fresh_pre, fault_fresh_post],
+                "membw_gibs": membw_end}
         slowest = max(o["wall_sec"] for o in outs)
         weak = single["wall_sec"] / slowest
         agg_rows = sum(o["rows"] for o in outs)
