@@ -205,3 +205,36 @@ def test_semantic_dedup_keep_rule(spark):
     assert (grp["vec_id"].min().sort_index() == keepers).all()
     singles = grp.size() == 1
     assert out[out.component_id.isin(singles[singles].index)]["keep"].all()
+
+
+def test_tile_pyramid_rollup_consistent_and_two_exchanges(spark):
+    """Raster pyramid invariants: every level conserves the point count
+    and weight total, tile counts grow monotonically with zoom, z0 is the
+    single world tile — and the physical plan is the leaf-agg-first shape
+    (exactly two exchanges, one ancestor Generate, no per-level rescan)."""
+    import re
+
+    import pandas as pd
+
+    from traffic_engine_spark.plans.tiles import tile_pyramid
+
+    pts = pd.DataFrame({
+        "lat": [37.0, 37.0001, 37.5, -10.0],
+        "lon": [-122.0, -122.0001, -122.5, 20.0],
+        "value": [1.0, 2.0, 3.0, 4.0],
+    })
+    df = tile_pyramid(
+        spark.createDataFrame(pts), min_zoom=0, max_zoom=10, weight="value"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange", plan)) == 2, plan
+    assert len(re.findall(r"Generate", plan)) == 1, plan
+    out = df.toPandas()
+    counts = []
+    for z in range(0, 11):
+        lev = out[out.z == z]
+        assert lev.n.sum() == 4, z
+        assert abs(lev.w_sum.sum() - 10.0) < 1e-9, z
+        counts.append(len(lev))
+    assert counts[0] == 1
+    assert all(a <= b for a, b in zip(counts, counts[1:])), counts

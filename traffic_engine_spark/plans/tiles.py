@@ -83,3 +83,59 @@ def tile_assignments_with_invariants(images: DataFrame) -> DataFrame:
     """Join the column-only tile plan with the payload verification on the
     image_id spine (bytes never crosses the tile-assignment shuffle)."""
     return assign_tiles(images).join(verify_payloads(images), "image_id")
+
+
+def tile_pyramid(
+    points: DataFrame,
+    min_zoom: int = Z_AREA,
+    max_zoom: int = Z_ITEM,
+    weight: str | None = None,
+) -> DataFrame:
+    """Raster tile pyramid: per-tile totals at ``max_zoom`` rolled up to
+    every ancestor level down to ``min_zoom`` (the raster half of the
+    raster↔vector layer; slippy ancestor = coordinate right-shift, same
+    parent math as functions/cells.cell_parent_col).
+
+    Plan shape, chosen for 10^12-row inputs: (1) partial+final hash agg
+    at the LEAF zoom first — the leaf aggregate is bounded by the number
+    of occupied z-``max_zoom`` tiles, orders of magnitude smaller than
+    the input; (2) one Generate exploding each leaf row over its
+    ``max_zoom - min_zoom + 1`` ancestor levels with a column-amount
+    shiftright (pure codegen, no per-level rescan of the input);
+    (3) one final hash agg on (z, x, y).  Two exchanges total, both on
+    already-reduced data; a per-level loop over the input would scan it
+    ``levels`` times and shuffle unreduced rows.
+
+    Returns (z, x, y, n, w_sum) — ``w_sum`` only when ``weight`` given.
+    """
+    assert 0 <= min_zoom <= max_zoom, (min_zoom, max_zoom)
+    x = tile_x_col(F.col("lon"), max_zoom)
+    y = tile_y_col(F.col("lat"), max_zoom)
+    aggs = [F.count(F.lit(1)).alias("n")]
+    if weight:
+        aggs.append(F.sum(weight).alias("w_sum"))
+    leaf = points.select(
+        x.alias("x"), y.alias("y"),
+        *([F.col(weight).alias(weight)] if weight else []),
+    ).groupBy("x", "y").agg(*aggs)
+    up = [F.sum("n").alias("n")]
+    if weight:
+        up.append(F.sum("w_sum").alias("w_sum"))
+    return (
+        leaf.select(
+            F.explode(
+                F.sequence(F.lit(min_zoom), F.lit(max_zoom))
+            ).alias("z"),
+            "x", "y", "n",
+            *(["w_sum"] if weight else []),
+        )
+        .select(
+            "z",
+            F.expr(f"shiftright(x, {max_zoom} - z)").alias("x"),
+            F.expr(f"shiftright(y, {max_zoom} - z)").alias("y"),
+            "n",
+            *(["w_sum"] if weight else []),
+        )
+        .groupBy("z", "x", "y")
+        .agg(*up)
+    )

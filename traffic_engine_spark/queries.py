@@ -1902,6 +1902,37 @@ def multimodal_image_features(spark, sf_dir):
     )
 
 
+@yq(
+    "tile_pyramid",
+    f"""
+WITH {PTS_CTE},
+leaf AS (
+  SELECT {_sql_tile_x('lon', 18)} AS x, {_sql_tile_y('lat', 18)} AS y,
+         count(*) AS n, sum(value) AS w_sum
+  FROM pts GROUP BY 1, 2
+),
+lv AS (SELECT unnest(generate_series(11, 18)) AS z)
+SELECT z, x >> (18 - z) AS x, y >> (18 - z) AS y,
+       CAST(sum(n) AS BIGINT) AS n, sum(w_sum) AS w_sum
+FROM leaf, lv
+GROUP BY 1, 2, 3
+""",
+)
+def tile_pyramid(spark, sf_dir):
+    """Raster tile pyramid (plans/tiles.tile_pyramid): per-tile totals at
+    z18 rolled up to every zoom down to z11 — leaf hash-agg first, then
+    ONE ancestor-explode (column-amount shiftright) and one re-agg; two
+    exchanges, no per-level rescan.  Pytest-only: the driver window is at
+    its 50-entry cap; DuckDB-gated here and via check_oracle
+    --yardsticks."""
+    from .plans.tiles import tile_pyramid as TP
+
+    out = TP(_points(spark, sf_dir), min_zoom=11, max_zoom=18, weight="value")
+    return out.select(
+        F.col("z").cast("long").alias("z"), "x", "y", "n", "w_sum"
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
