@@ -1798,3 +1798,38 @@ def test_fault_probe_returns_positive_rate():
 
     r = fault_probe(mb=32)
     assert r > 0.0 and r < 1e6
+
+
+@pytest.mark.parametrize("seed", [101, 202])
+def test_streaming_random_fuzz_matches_batch(spark, seed):
+    """Streaming twin of the crossing-state-machine fuzz
+    (test_parity.py::test_crossing_state_machine_random_fuzz): seeded
+    random city + random walks, run through the two-query medallion with
+    3 time-sliced microbatches (state — pending crossings included —
+    must round-trip GroupState between batches), must equal the batch
+    pipeline's samples exactly.  Catches stream-only state-encoding and
+    microbatch-boundary bugs on layouts no hand fixture encodes."""
+    import numpy as np
+
+    from traffic_engine_spark.datagen.images_gen import images_from_fixes_pd
+    from traffic_engine_spark.datagen.osm_gen import generate_city
+    from traffic_engine_spark.datagen.trace_gen import generate_traces
+    from traffic_engine_spark.plans import network as N
+
+    rng = np.random.RandomState(seed)
+    nodes, ways, meta = generate_city(
+        seed=seed, n_rows=int(rng.randint(4, 8)), n_cols=int(rng.randint(4, 8))
+    )
+    fixes = generate_traces(
+        meta, seed=seed, n_traces=int(rng.randint(8, 18)),
+        n_moves_lo=int(rng.randint(3, 6)), n_moves_hi=int(rng.randint(8, 16)),
+    )
+    images = images_from_fixes_pd(fixes)
+    net = N.build_network_tables(
+        spark, spark.createDataFrame(ways), spark.createDataFrame(nodes)
+    )
+    batch = _batch_samples(spark, net, images)
+    assert len(batch) > 0, "draw produced no samples — fuzz not exercising the kernel"
+    got = _run_stream(spark, net, images, f"fuzz_stream_{seed}",
+                      n_slices=3, expected_rows=len(batch))
+    _assert_samples_equal(batch, got)
