@@ -187,3 +187,34 @@ def test_image_features_match_independent_replay(spark, images_pd):
         assert int(g.phash) == phash64(px)
     # histogram mass always equals the pixel count
     assert all(sum(hist) == w * h for hist, w, h in zip(out["hist"], out.w, out.h))
+
+
+def test_corrupt_payload_handling(spark, images_pd):
+    """Planet-scale robustness: a corrupt payload must (a) be REPORTED by
+    verify_payloads (bytes_ok False), never crash the task; (b) kill the
+    job under the default on_error='raise' for resize/features (parity
+    posture); (c) be dropped cleanly under on_error='skip'."""
+    from pyspark.errors import PythonException
+
+    from traffic_engine_spark.plans import tiles as TI
+
+    sub = images_pd.head(12).copy()
+    bad_id = sub.iloc[3]["image_id"]
+    sub.loc[sub.image_id == bad_id, "bytes"] = b"\x00GARBAGE-not-a-container"
+    df = spark.createDataFrame(sub)
+
+    ver = TI.verify_payloads(df).toPandas()
+    assert len(ver) == 12
+    bad = ver[ver.image_id == bad_id].iloc[0]
+    assert not bad.bytes_ok and not bad.caption_ok and bad.psnr_db == 0.0
+    assert ver[ver.image_id != bad_id].bytes_ok.all()
+
+    with pytest.raises(PythonException):
+        MM.resize_images(df, 16, 12).toPandas()
+    with pytest.raises(PythonException):
+        MM.image_features(df).toPandas()
+
+    ok = MM.resize_images(df, 16, 12, on_error="skip").toPandas()
+    assert len(ok) == 11 and bad_id not in set(ok.image_id)
+    feats = MM.image_features(df, on_error="skip").toPandas()
+    assert len(feats) == 11 and bad_id not in set(feats.image_id)

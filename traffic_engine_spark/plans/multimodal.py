@@ -54,15 +54,28 @@ def _resize_np(px: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     return px[np.ix_(ys, xs)]
 
 
-def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
+def resize_images(
+    images: DataFrame, out_w: int, out_h: int, on_error: str = "raise"
+) -> DataFrame:
     """Decode → nearest-neighbour resize → re-encode (same fmt), with the
-    resized pHash.  One Arrow batch per task; bytes never shuffle."""
+    resized pHash.  One Arrow batch per task; bytes never shuffle.
+
+    ``on_error``: 'raise' (default — bit-parity with the oracle on clean
+    corpora) or 'skip' — undecodable payloads are dropped instead of
+    killing the task, the posture a 10^12-row corpus with a nonzero
+    corruption rate needs (count skips by anti-joining on image_id)."""
+    assert on_error in ("raise", "skip"), on_error
 
     def run(batches):
         for pdf in batches:
             rows = []
             for r in pdf.itertuples():
-                px = _resize_np(decode_image(bytes(r.bytes)), out_w, out_h)
+                try:
+                    px = _resize_np(decode_image(bytes(r.bytes)), out_w, out_h)
+                except Exception:
+                    if on_error == "raise":
+                        raise
+                    continue
                 rows.append(
                     (r.image_id, encode_image(px, r.fmt), out_w, out_h, r.fmt,
                      phash64(px))
@@ -127,21 +140,32 @@ def image_feature_row(px: np.ndarray) -> tuple:
 
 
 def image_features(images: DataFrame, id_col: str = "image_id",
-                   bytes_col: str = "bytes") -> DataFrame:
+                   bytes_col: str = "bytes", on_error: str = "raise") -> DataFrame:
     """Decode → per-image feature vector (the feature-extract stage of the
     multimodal checklist: decode / feature-extract / resize / frame-sample).
     Intensity stats, an 8-bin histogram, a gradient edge-density score, and
     the 64-bit pHash per image — Arrow-batched mapInPandas, numpy per
     frame; the input bytes never shuffle (features are born in the map
-    task that read the row)."""
+    task that read the row).
+
+    ``on_error``: 'raise' (default) or 'skip' — same contract as
+    resize_images; corrupt payloads in a planet-scale corpus must not
+    kill the job."""
+    assert on_error in ("raise", "skip"), on_error
 
     def run(batches):
         for pdf in batches:
-            rows = [
-                (getattr(r, id_col),
-                 *image_feature_row(decode_image(bytes(getattr(r, bytes_col)))))
-                for r in pdf.itertuples()
-            ]
+            rows = []
+            for r in pdf.itertuples():
+                try:
+                    feat = image_feature_row(
+                        decode_image(bytes(getattr(r, bytes_col)))
+                    )
+                except Exception:
+                    if on_error == "raise":
+                        raise
+                    continue
+                rows.append((getattr(r, id_col), *feat))
             yield pd.DataFrame(
                 rows, columns=[f.name for f in IMAGE_FEATURE_SCHEMA.fields]
             )

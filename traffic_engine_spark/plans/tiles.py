@@ -62,7 +62,14 @@ def verify_payloads(images: DataFrame, min_psnr: float = 40.0) -> DataFrame:
         for pdf in batches:
             rows = []
             for r in pdf.itertuples():
-                px = decode_image(bytes(r.bytes))
+                # An undecodable payload is exactly what verification must
+                # REPORT — a raise here would kill the task (and at 10^12
+                # rows, the job) on the first corrupt row.
+                try:
+                    px = decode_image(bytes(r.bytes))
+                except Exception:
+                    rows.append((r.image_id, False, False, False, 0.0))
+                    continue
                 canon = render_pixels(r.caption, int(r.w), int(r.h))
                 p = psnr_db(canon, px)
                 lossless = r.fmt == "png"
