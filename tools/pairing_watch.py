@@ -67,7 +67,15 @@ def run_pairing(traces: int) -> dict:
          "--traces", str(traces)],
         capture_output=True, text=True, cwd=REPO)
     e = json.loads(r1.stdout.strip().splitlines()[-1])
-    bw_mid, ff_mid = probes()
+    # hold the union phase until the bandwidth canary recovers (bounded):
+    # waiting is correct for the external membw phase, and a degraded
+    # union void the whole attempt (ledger: attempt 2, membw 27 mid)
+    t_wait = time.time()
+    while time.time() - t_wait < 900:
+        bw_mid, ff_mid = probes()
+        if bw_mid >= MEMBW_MIN and ff_mid >= FRESH_MIN:
+            break
+        time.sleep(20)
     r2 = subprocess.run(
         ["taskset", "-c", "0-1", sys.executable, "tools/scaling_bench.py",
          "--strong-union", "--traces", str(traces)],

@@ -265,8 +265,31 @@ def main():
                       f"({loops} loops)", file=sys.stderr)
             return fr
 
+        def wait_membw(
+            tag: str,
+            min_gibs: float = float(os.environ.get("SPARK_GRAFT_MEMBW_MIN", "30")),
+            budget_s: float = float(os.environ.get("SPARK_GRAFT_MEMBW_WAIT", "900")),
+        ) -> float:
+            """Hold the phase until the memory-bandwidth canary reads
+            clean.  Unlike the reactive allocation throttle (which must be
+            ramped through), the bandwidth phase is external — waiting IS
+            the correct response; a phase started at membw 20-27 GiB/s
+            measures the host, not the plan (ledger: attempts 1-2 flapped
+            mid-run).  Bounded + disclosed like every other gate."""
+            t0 = time.time()
+            while True:
+                bw = membw_probe()
+                if bw >= min_gibs or time.time() - t0 >= budget_s:
+                    if bw < min_gibs:
+                        print(f"{tag}: membw wait budget exhausted at "
+                              f"{bw:.1f} GiB/s — proceeding degraded",
+                              file=sys.stderr)
+                    return round(bw, 2)
+                time.sleep(20)
+
         mon = LoadMonitor()
         fault_fresh_pre = fault_probe_fresh()
+        membw_pre = wait_membw("single_phase")
         fault_pre = wait_fault_calm("single_phase")
         h0 = mon.snapshot()
         single = json.loads(
@@ -274,6 +297,7 @@ def main():
                             "--child", "2", "--traces", str(d)],
                            capture_output=True, text=True, cwd=repo).stdout.strip().splitlines()[-1])
         h1 = mon.snapshot()
+        membw_mid = wait_membw("multi_phase")
         fault_mid = wait_fault_calm("multi_phase")
         procs = [spawn(i * 2, i * 2 + 1, i * d) for i in range(nexec)]
         outs = [json.loads(p.communicate()[0].strip().splitlines()[-1]) for p in procs]
@@ -293,7 +317,7 @@ def main():
                 # (hostload.fault_probe_fresh) — these are the window
                 # classifiers; the in-child worker ramps are the mitigation
                 "fault_fresh_gibs": [fault_fresh_pre, fault_fresh_post],
-                "membw_gibs": membw_end}
+                "membw_gibs": [membw_pre, membw_mid, membw_end]}
         slowest = max(o["wall_sec"] for o in outs)
         weak = single["wall_sec"] / slowest
         agg_rows = sum(o["rows"] for o in outs)
