@@ -1833,3 +1833,73 @@ def test_streaming_random_fuzz_matches_batch(spark, seed):
     got = _run_stream(spark, net, images, f"fuzz_stream_{seed}",
                       n_slices=3, expected_rows=len(batch))
     _assert_samples_equal(batch, got)
+
+
+# ---------------------------------------------------------------------------
+# table maintenance — compaction + spatial clustering (Iceberg
+# rewrite_data_files / Z-order twin, sources/maintenance.py)
+# ---------------------------------------------------------------------------
+
+
+def _write_fragmented(spark, tmp_path, n_files=40):
+    """A 'month of micro-batch appends': the fixes table shattered into
+    n_files tiny parquet files."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(7)
+    n = 20_000
+    pdf = pd.DataFrame(
+        {
+            "image_id": [f"img{i:06d}" for i in range(n)],
+            "lat": rng.uniform(45.0, 45.3, n),
+            "lon": rng.uniform(-122.8, -122.4, n),
+            "caption": [f"cap {i}" for i in range(n)],
+        }
+    )
+    frag = str(tmp_path / "frag")
+    spark.createDataFrame(pdf).repartition(n_files).write.mode(
+        "overwrite"
+    ).parquet(frag)
+    return frag, pdf
+
+
+def test_compact_table_binpack_content_identical(spark, tmp_path):
+    """binpack rewrite: file count collapses to the byte-derived target,
+    content is row-identical both directions (the Iceberg
+    rewrite_data_files contract)."""
+    from traffic_engine_spark.sources.maintenance import compact_table
+
+    frag, _ = _write_fragmented(spark, tmp_path)
+    out = str(tmp_path / "compact")
+    stats = compact_table(spark, frag, out, target_file_mb=1)
+    assert stats["files_before"] >= 40
+    assert stats["files_after"] == stats["target_files"] < stats["files_before"]
+    a = spark.read.parquet(frag)
+    b = spark.read.parquet(out)
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+
+def test_compact_table_cluster_disjoint_ranges(spark, tmp_path):
+    """clustered rewrite: content identical AND every output file owns a
+    DISJOINT Morton range (footer-stats audit — the property that makes
+    min/max file-skipping work on spatial predicates)."""
+    from traffic_engine_spark.sources.maintenance import (
+        cluster_key_file_ranges,
+        compact_table,
+    )
+
+    frag, _ = _write_fragmented(spark, tmp_path)
+    out = str(tmp_path / "clustered")
+    stats = compact_table(
+        spark, frag, out, target_file_mb=0.25, cluster=("lat", "lon"),
+        keep_cluster_key=True,
+    )
+    assert stats["files_after"] < stats["files_before"]
+    a = spark.read.parquet(frag)
+    b = spark.read.parquet(out).drop("_morton_cluster_key")
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+    ranges = sorted(cluster_key_file_ranges(out))
+    assert len(ranges) >= 2, "need >1 file for the disjointness claim"
+    for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert lo1 <= hi1 < lo2, "output files must own disjoint key ranges"

@@ -1,0 +1,140 @@
+"""Table maintenance — small-file compaction with optional spatial
+clustering (the parquet substitution for Iceberg's
+``rewrite_data_files`` + Z-order rewrite; same contract, same knobs).
+
+Why this is an engine operator and not an ops script: the reference's
+stores stay read-efficient because MapDB rewrites its B-tree pages in
+place (StatsDataStore.java commit cycle).  A 10^12-row Iceberg table
+has no such luxury — every streaming micro-batch and every incremental
+ingest APPENDS files, and a year of appends turns one logical table
+into millions of kilobyte files whose open/footer costs dominate every
+scan.  Periodic compaction is what keeps the "spatial-join +
+tile-assignment rows/sec" metric meaningful on month two.
+
+Two rewrite shapes, selected by ``cluster``:
+
+* ``cluster=None`` — pure bin-packing.  ``coalesce(n)`` (narrow, no
+  shuffle): each output task concatenates whole input splits.  This is
+  Iceberg's ``rewrite_data_files(strategy => 'binpack')``.
+* ``cluster=("lat", "lon")`` — spatial clustering.  One range-exchange
+  on the Morton/Z-order key (``functions.cells.morton_of_col``), sorted
+  within partitions, so every output file owns a DISJOINT Morton range.
+  Parquet min/max column stats on the kept key column then let any
+  cell-range predicate (J1's packed-cell probes, tile queries) skip
+  whole files — Iceberg's ``strategy => 'sort', sort_order => zorder``.
+
+The output-file count is derived from the actual input bytes (what
+Iceberg reads from its manifests; here a driver-side metadata listing —
+bounded by the file count, which is exactly the thing being reduced),
+so the operator needs no row-count pass over the data.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import Z_ITEM
+from ..functions.cells import morton_of_col
+
+#: parquet compresses; size output partitions off the on-disk bytes but
+#: leave headroom so one range partition stays one file under
+#: maxRecordsPerFile (Iceberg applies the same write.target-file-size
+#: fudge when planning binpack groups).
+_CLUSTER_KEY = "_morton_cluster_key"
+
+
+def _dir_bytes_files(path: str) -> tuple[int, int]:
+    """(total bytes, data-file count) for a parquet directory —
+    metadata-only, no data read (the manifest-scan substitute)."""
+    total = 0
+    files = 0
+    for root, _dirs, names in os.walk(path):
+        for n in names:
+            if n.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, n))
+                files += 1
+    return total, files
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_file_mb: float = 128,
+    cluster: tuple[str, str] | None = None,
+    zoom: int = Z_ITEM,
+    keep_cluster_key: bool = False,
+) -> dict:
+    """Rewrite the parquet table at ``path`` into ``out_path`` with
+    ~``target_file_mb``-sized files; content is row-identical (asserted
+    by tests/test_infra.py::test_compact_table_* via EXCEPT-ALL both
+    directions).  With ``cluster=(lat_col, lon_col)`` the rewrite
+    range-partitions on the Morton key so output files own disjoint
+    key ranges (file-skipping on spatial predicates); pass
+    ``keep_cluster_key=True`` to persist the key column for explicit
+    min/max pruning audits (Iceberg keeps the equivalent in file-level
+    column stats either way).
+
+    Returns ``{"files_before", "files_after", "bytes_before",
+    "target_files"}``.  Writes to a NEW directory: at warehouse scale
+    the swap is a catalog commit (Iceberg snapshot replace); on raw
+    parquet the caller points readers at ``out_path`` once this
+    returns — never rewrite a directory a reader may be scanning.
+    """
+    bytes_before, files_before = _dir_bytes_files(path)
+    n = max(1, math.ceil(bytes_before / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    if cluster is None:
+        # narrow: whole input splits concatenate into n output tasks
+        out = df.coalesce(n)
+    else:
+        lat_col, lon_col = cluster
+        keyed = df.withColumn(
+            _CLUSTER_KEY, morton_of_col(F.col(lat_col), F.col(lon_col), zoom)
+        )
+        out = keyed.repartitionByRange(n, _CLUSTER_KEY).sortWithinPartitions(
+            _CLUSTER_KEY
+        )
+        if not keep_cluster_key:
+            out = out.drop(_CLUSTER_KEY)
+    out.write.mode("overwrite").parquet(out_path)
+    _, files_after = _dir_bytes_files(out_path)
+    return {
+        "files_before": files_before,
+        "files_after": files_after,
+        "bytes_before": bytes_before,
+        "target_files": n,
+    }
+
+
+def cluster_key_file_ranges(out_path: str, key: str = _CLUSTER_KEY) -> list[tuple[int, int]]:
+    """Per-file (min, max) of ``key`` from parquet FOOTER statistics only
+    — the audit a planner runs to prove file-skipping works.  With the
+    range-partitioned rewrite these intervals are pairwise disjoint, so
+    a predicate on the key touches O(selectivity) files, not all of
+    them."""
+    import pyarrow.parquet as pq
+
+    ranges: list[tuple[int, int]] = []
+    for root, _dirs, names in os.walk(out_path):
+        for nme in sorted(names):
+            if not nme.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(root, nme)).metadata
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            if key not in idx:
+                raise KeyError(
+                    f"{key} not in {nme}; compact with keep_cluster_key=True"
+                )
+            lo = None
+            hi = None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx[key]).statistics
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            ranges.append((lo, hi))
+    return ranges
