@@ -188,3 +188,24 @@ def test_geojson_gate_routes_large_networks_distributed(spark, spark_network, tm
         assert len(got) == len(want)
         for (gx, gy), (wx, wy) in zip(got, want):
             assert abs(gx - wx) < 1e-12 and abs(gy - wy) < 1e-12
+
+
+def test_geojson_simplify_zoom_thins_vertices(spark, spark_network):
+    """simplify_zoom composes with both geojson writers: same features,
+    same properties, never MORE vertices, and endpoints preserved."""
+    import json
+
+    from traffic_engine_spark.sources import export as EX
+
+    segs, _, _ = spark_network
+    sample = segs.limit(8)
+    plain = json.loads(EX.segments_to_geojson(sample))
+    thin = json.loads(EX.segments_to_geojson(sample, simplify_zoom=10))
+    by_id = {f["properties"]["segment_id"]: f for f in plain["features"]}
+    assert len(thin["features"]) == len(plain["features"])
+    for f in thin["features"]:
+        p = by_id[f["properties"]["segment_id"]]
+        assert f["properties"] == p["properties"]
+        pc, tc = p["geometry"]["coordinates"], f["geometry"]["coordinates"]
+        assert 2 <= len(tc) <= len(pc)
+        assert tc[0] == pc[0] and tc[-1] == pc[-1]

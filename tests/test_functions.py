@@ -184,3 +184,85 @@ def test_phash_properties():
     # lossy quantisation keeps the perceptual hash close (≤4 bit flips)
     hq = images.phash64(images.decode_lossy(images.encode_lossy(px1)))
     assert bin((h1 ^ hq) & (2**64 - 1)).count("1") <= 4
+
+
+# ---------------------------------------------------------------------------
+# Douglas-Peucker simplification (functions/simplify.py)
+# ---------------------------------------------------------------------------
+
+
+def test_dp_mask_fixture_and_invariants():
+    """Hand fixture + the three properties that make DP display-lossless:
+    endpoints kept, every DROPPED vertex within tol of the kept line,
+    idempotence, and pts_out monotone non-increasing in tol."""
+    import numpy as np
+
+    from traffic_engine_spark.functions.simplify import dp_keep_mask
+
+    # collinear interior points collapse to the two endpoints
+    lons = np.array([0.0, 0.001, 0.002, 0.003])
+    lats = np.array([0.0, 0.0, 0.0, 0.0])
+    m = dp_keep_mask(lons, lats, 1e-6)
+    assert m.tolist() == [True, False, False, True]
+
+    # a spike above tol survives (and pulls its neighbour above tol on
+    # the recursed chord); below tol the whole interior is dropped
+    lats2 = np.array([0.0, 5e-4, 0.0, 0.0])
+    assert dp_keep_mask(lons, lats2, 1e-4).tolist() == [True, True, True, True]
+    assert dp_keep_mask(lons, lats2, 1e-3).tolist() == [True, False, False, True]
+
+    rng = np.random.RandomState(11)
+    for trial in range(25):
+        n = int(rng.randint(2, 60))
+        lo = np.cumsum(rng.uniform(-1e-3, 1e-3, n)) + rng.uniform(-120, -60)
+        la = np.cumsum(rng.uniform(-1e-3, 1e-3, n)) + rng.uniform(30, 60)
+        prev_kept = n + 1
+        for tol in (1e-6, 1e-5, 1e-4, 1e-3):
+            m = dp_keep_mask(lo, la, tol)
+            assert m[0] and m[-1]
+            kept = int(m.sum())
+            assert kept <= prev_kept, "pts_out must be monotone in tol"
+            prev_kept = kept
+            # every dropped vertex within tol of the simplified line
+            # (same cos-corrected metric as the kernel)
+            import math as _math
+
+            c = _math.cos(_math.radians(float(np.mean(la))))
+            kx, ky = lo[m] * c, la[m]
+            for i in np.nonzero(~m)[0]:
+                px, py = lo[i] * c, la[i]
+                dmin = np.inf
+                for (x0, y0), (x1, y1) in zip(zip(kx, ky), zip(kx[1:], ky[1:])):
+                    dx, dy = x1 - x0, y1 - y0
+                    l2 = dx * dx + dy * dy
+                    t = 0.0 if l2 == 0 else min(1.0, max(0.0, ((px - x0) * dx + (py - y0) * dy) / l2))
+                    dmin = min(dmin, np.hypot(px - (x0 + t * dx), py - (y0 + t * dy)))
+                assert dmin <= tol + 1e-12
+            # idempotence
+            m2 = dp_keep_mask(lo[m], la[m], tol)
+            assert m2.all(), "simplify(simplify(x)) must be a no-op"
+
+
+def test_simplify_segments_narrow_plan(spark, spark_network):
+    """simplify_segments: vertex conservation per row, rows untouched,
+    and a NARROW plan — zero Exchange operators (geometry never
+    shuffles)."""
+    from pyspark.sql import functions as F
+
+    from traffic_engine_spark.functions.simplify import (
+        pixel_tolerance_deg,
+        simplify_segments,
+    )
+
+    segs, _, _ = spark_network
+    out = simplify_segments(segs, zoom=14)
+    rows = out.select("segment_id", "pts_in", "pts_out",
+                      F.size("lons").alias("sz")).collect()
+    assert len(rows) == segs.count()
+    for r in rows:
+        assert 2 <= r.pts_out <= r.pts_in and r.sz == r.pts_out
+    # narrow op: simplify adds ZERO Exchange operators over its input plan
+    base_plan = segs._jdf.queryExecution().executedPlan().toString()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == base_plan.count("Exchange")
+    assert pixel_tolerance_deg(14, 1.0) < pixel_tolerance_deg(13, 1.0)

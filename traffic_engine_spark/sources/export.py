@@ -26,6 +26,7 @@ def segments_to_geojson(
     segments: DataFrame,
     path: str | None = None,
     offset_display: bool = False,
+    simplify_zoom: int | None = None,
     cfg=DEFAULT_CONFIG,
 ) -> str:
     """Street segments → GeoJSON.  Size-gated like every other dim
@@ -40,9 +41,21 @@ def segments_to_geojson(
     (C10, osm/OSMDataStore.java:130-139): NON-oneway segments draw offset
     by -0.000025° so the two directions render side by side
     (functions/geodesy.offset_curve_np — mitre-join recast of JTS
-    OffsetCurveBuilder, display-only)."""
+    OffsetCurveBuilder, display-only).  ``simplify_zoom`` thins the
+    geometry to sub-pixel Douglas–Peucker tolerance at that display
+    zoom before anything else runs (functions/simplify.py)."""
     from ..functions.geodesy import offset_curve_np
     from ..util import over_rowcount
+
+    if simplify_zoom is not None:
+        # thin BEFORE collect/offset: sub-pixel tolerance makes the
+        # offset of the simplified line display-identical, and the
+        # driver path collects a fraction of the vertex bytes
+        from ..functions.simplify import simplify_segments
+
+        segments = simplify_segments(segments, zoom=simplify_zoom).drop(
+            "pts_in", "pts_out"
+        )
 
     if over_rowcount(segments, cfg.broadcast_dim_max_rows):
         if path is None:
@@ -86,13 +99,25 @@ def segments_to_geojson(
 
 
 def segments_to_geojson_files(
-    segments: DataFrame, path: str, offset_display: bool = False
+    segments: DataFrame,
+    path: str,
+    offset_display: bool = False,
+    simplify_zoom: int | None = None,
 ):
     """Distributed variant: one JSON feature per line, partitioned by z11
     tile of the segment start — loadable as newline-delimited GeoJSON.
     ``offset_display`` applies the C10 two-way offset per Arrow batch
     (numpy offset_curve_np inside mapInPandas — display-only path, the
-    geometry arrays never shuffle)."""
+    geometry arrays never shuffle).  ``simplify_zoom`` thins vertices to
+    sub-pixel Douglas–Peucker tolerance at that display zoom first
+    (functions/simplify.py) — at planet scale the tile BYTES, not the
+    compute, are the cost this writer controls."""
+    if simplify_zoom is not None:
+        from ..functions.simplify import simplify_segments
+
+        segments = simplify_segments(segments, zoom=simplify_zoom).drop(
+            "pts_in", "pts_out"
+        )
     if offset_display:
         from ..functions.geodesy import offset_curve_np
 
