@@ -47,7 +47,11 @@ def segments_to_geojson(
     from ..functions.geodesy import offset_curve_np
     from ..util import over_rowcount
 
-    if simplify_zoom is not None:
+    # gate on the RAW table: simplification preserves row count, and
+    # counting after it would execute the thinning kernel twice
+    routed_distributed = over_rowcount(segments, cfg.broadcast_dim_max_rows)
+
+    if simplify_zoom is not None and not routed_distributed:
         # thin BEFORE collect/offset: sub-pixel tolerance makes the
         # offset of the simplified line display-identical, and the
         # driver path collects a fraction of the vertex bytes
@@ -57,14 +61,17 @@ def segments_to_geojson(
             "pts_in", "pts_out"
         )
 
-    if over_rowcount(segments, cfg.broadcast_dim_max_rows):
+    if routed_distributed:
         if path is None:
             raise ValueError(
                 "segment table exceeds the driver-assembly gate "
                 f"({cfg.broadcast_dim_max_rows} rows); pass `path` for the "
                 "distributed JSONL writer"
             )
-        segments_to_geojson_files(segments, path, offset_display=offset_display)
+        segments_to_geojson_files(
+            segments, path, offset_display=offset_display,
+            simplify_zoom=simplify_zoom,
+        )
         return path
 
     feats = []
