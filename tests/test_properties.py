@@ -116,3 +116,44 @@ def test_ids_positive_deterministic(way, a, b):
     assert s1 == s2 and 0 <= s1 < (1 << 60)
     if a != b:
         assert ids.segment_id_py(way, a, b) != ids.segment_id_py(way, b, a)
+
+
+# --- Douglas-Peucker (functions/simplify.py) --------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    n=st.integers(min_value=2, max_value=40),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    tol_exp=st.floats(min_value=-6.5, max_value=-2.5),
+)
+def test_dp_keep_mask_hypothesis(n, seed, tol_exp):
+    """For ANY polyline and tolerance: endpoints kept, every dropped
+    vertex within tol of the kept polyline (cos-corrected metric), and
+    the mask is idempotent."""
+    import math
+
+    import numpy as np
+
+    from traffic_engine_spark.functions.simplify import dp_keep_mask
+
+    rng = np.random.RandomState(seed)
+    tol = 10.0**tol_exp
+    lo = np.cumsum(rng.uniform(-1e-3, 1e-3, n)) + rng.uniform(-179, 179)
+    la = np.cumsum(rng.uniform(-1e-3, 1e-3, n)) + rng.uniform(-60, 60)
+    m = dp_keep_mask(lo, la, tol)
+    assert m[0] and m[-1]
+    c = math.cos(math.radians(float(np.mean(la))))
+    kx, ky = lo[m] * c, la[m]
+    for i in np.nonzero(~m)[0]:
+        px, py = lo[i] * c, la[i]
+        dmin = np.inf
+        for j in range(len(kx) - 1):
+            dx, dy = kx[j + 1] - kx[j], ky[j + 1] - ky[j]
+            l2 = dx * dx + dy * dy
+            t = 0.0 if l2 == 0 else min(1.0, max(0.0, ((px - kx[j]) * dx + (py - ky[j]) * dy) / l2))
+            dmin = min(dmin, float(np.hypot(px - (kx[j] + t * dx), py - (ky[j] + t * dy))))
+        assert dmin <= tol + 1e-12
+    assert dp_keep_mask(lo[m], la[m], tol).all()
