@@ -97,6 +97,43 @@ def membw_probe(threads: int = 4, mb: int = 512, seconds: float = 2.5) -> float:
     return sum(moved) / (time.time() - t0) / (1 << 30)
 
 
+def cpu_probe(threads: int = 4, seconds: float = 1.5) -> float:
+    """Aggregate compute rate (GFLOP/s) of ``threads`` concurrent
+    cache-resident matmuls — DRAM-independent by construction (the
+    192-KiB working set lives in L2), so it discriminates CPU-SPEED
+    throttling (frequency caps, scheduler quantum starvation) from the
+    bandwidth phase ``membw_probe`` reads.  Motivated by the 2026-08-18
+    window where all canaries read clean (membw 32-36, fresh-fault 3.6+,
+    zero external CPU) yet identical pipeline runs retired ~2.1-2.4x
+    slower than the round-4 clean reference — a phase NO
+    allocation/bandwidth probe can see.  Relative indicator, same caveat
+    as membw_probe."""
+    import threading as _threading
+
+    import numpy as np
+
+    n = 128  # 3 × 128² × 8 B = 384 KiB total across a/b/c — L2-resident
+    flops = [0.0] * threads
+
+    def work(i: int) -> None:
+        a = np.ones((n, n)); b = np.ones((n, n))
+        stop_at = time.time() + seconds
+        done = 0
+        while time.time() < stop_at:
+            for _ in range(8):
+                np.dot(a, b)
+            done += 8
+        flops[i] = done * 2.0 * n**3
+
+    t0 = time.time()
+    ts = [_threading.Thread(target=work, args=(i,)) for i in range(threads)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    return sum(flops) / (time.time() - t0) / 1e9
+
+
 def fault_probe(mb: int = 256) -> float:
     """First-touch page-fault throughput (GiB/s): allocate ``mb`` MiB and
     write every page once (np.ones), return MiB faulted per second.

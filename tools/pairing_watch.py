@@ -34,7 +34,7 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-from hostload import fault_probe_fresh, membw_probe  # noqa: E402
+from hostload import cpu_probe, fault_probe_fresh, membw_probe  # noqa: E402
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 MEMBW_MIN = float(os.environ.get("SPARK_GRAFT_MEMBW_MIN", "30"))
@@ -50,6 +50,15 @@ def probes() -> tuple[float, float]:
     bw = membw_probe()
     ff = max(fault_probe_fresh(), fault_probe_fresh())
     return round(bw, 2), round(ff, 3)
+
+
+def cpu_diag() -> float:
+    """Ramped CPU-speed reading (GFLOP/s), max of two — the CPU credit
+    is reactive like the fault credit (0.8 cold → 4.7 after one
+    probe, 2026-08-18).  DIAGNOSTIC ONLY: logged per attempt so windows
+    become comparable across days; not a gate until a clean-window
+    reference range exists."""
+    return round(max(cpu_probe(), cpu_probe()), 2)
 
 
 def ledger(entry: dict) -> None:
@@ -108,8 +117,9 @@ def main() -> None:
             time.sleep(300)
             continue
         attempt += 1
-        print(f"attempt {attempt}: clean start (membw {bw}, fresh {ff})",
-              flush=True)
+        cpu0 = cpu_diag()
+        print(f"attempt {attempt}: clean start (membw {bw}, fresh {ff}, "
+              f"cpu {cpu0} GFLOP/s)", flush=True)
         try:
             res = run_pairing(traces)
         finally:
@@ -124,12 +134,14 @@ def main() -> None:
             and res["exec"]["host_load"]["multi_phase"]["clean"]
         )
         res["start_canaries"] = [bw, ff]
+        res["cpu_gflops"] = {"start": cpu0, "end": cpu_diag()}
         res["window_clean"] = clean
         note = {
             "note": "pairing_watch attempt %d: weak %.3f strong %.3f, "
-                    "canaries start(%s,%s) mid%s end%s -> %s"
+                    "canaries start(%s,%s) mid%s end%s cpu%s -> %s"
                     % (attempt, res["weak"], res["strong"], bw, ff,
                        res["canaries"]["mid"], res["canaries"]["end"],
+                       [res["cpu_gflops"]["start"], res["cpu_gflops"]["end"]],
                        "CLEAN — recorded" if clean else "degraded mid-run"),
         }
         ledger(note)
