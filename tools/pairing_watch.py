@@ -110,6 +110,12 @@ def main() -> None:
     t0 = time.time()
     attempt = 0
     while time.time() - t0 < max_hours * 3600:
+        if os.path.exists(os.path.join(REPO, ".builder_busy")):
+            # the build session is running its own Spark work — its load
+            # would void the attempt exactly like external load does
+            print("builder busy — sleeping", flush=True)
+            time.sleep(120)
+            continue
         bw, ff = probes()
         if bw < MEMBW_MIN or ff < FRESH_MIN:
             print(f"window dirty (membw {bw}, fresh {ff}) — sleeping",
