@@ -261,3 +261,210 @@ def kmeans_lloyd(
             (cid, [by_cid[cid][d] for d in range(dims)] if cid in by_cid else cv)
             for cid, cv in cent
         ]
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the 10^12-vector memory-compression path
+# ---------------------------------------------------------------------------
+
+
+def pq_train(
+    emb: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+    train_rows: int = 4096,
+) -> list[list[list[float]]]:
+    """PQ codebook training (Jégou, Douze & Schmid, TPAMI 2011 — the
+    FAISS IVF-PQ building block): split each vector into ``m`` equal
+    subvectors and train an independent ``k``-word codebook per
+    subspace.  Returns ``codebooks[m][k][dims//m]``.
+
+    Scale shape: codebooks are trained on a BOUNDED deterministic
+    sample (the ``train_rows`` lowest ids — same convention as
+    kmeans_lloyd's id<k seeding) collected to the driver, exactly like
+    FAISS trains on ~100k of 10^12 vectors; the full corpus never
+    leaves the executors (encode/search below are scans).  Driver
+    memory is train_rows × dims doubles; codebooks are m·k·(dims/m)
+    doubles of side data.  Lloyd here is numpy with the repo's
+    float-parity conventions: init = the first k sample subvectors,
+    squared-Euclidean assignment with (d2, code) tie-break, means
+    rounded to 6 decimals per update."""
+    if dims % m:
+        raise ValueError(f"dims={dims} not divisible by m={m}")
+    dsub = dims // m
+    rows = (
+        emb.select(F.col(id_col).alias("i"), F.col(vec_col).cast("array<double>").alias("v"))
+        .orderBy("i")
+        .limit(train_rows)
+        .collect()
+    )
+    if len(rows) < k:
+        raise ValueError(f"PQ training needs at least k={k} rows, got {len(rows)}")
+    import numpy as np
+
+    x = np.array([r.v for r in rows], dtype=np.float64)
+    books: list[list[list[float]]] = []
+    for j in range(m):
+        s = x[:, j * dsub : (j + 1) * dsub]
+        cent = np.round(s[:k].copy(), 6)
+        for _ in range(iters):
+            d2 = np.round(
+                ((s[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2), 6
+            )
+            code = d2.argmin(axis=1)  # argmin takes the lowest index on ties
+            for c in range(k):
+                mask = code == c
+                if mask.any():
+                    cent[c] = np.round(s[mask].mean(axis=0), 6)
+        books.append([[float(v) for v in cent[c]] for c in range(k)])
+    return books
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector to ``m`` uint8 codes — ONE zero-shuffle JVM
+    scan (the codebooks enter as literal arrays, argmin is array_min
+    over (d2, code) structs with the kmeans tie-break; no Python in the
+    hot path).  Output (vec_id, codes array<int>): at dims=64 float32 →
+    m=4 bytes this is the 64× memory fold that makes a 10^12-vector
+    corpus RAM-resident.  d2 is rounded to 6 dp before the argmin so
+    the numpy oracle replay is exact."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    v = emb.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    code_cols = []
+    for j in range(m):
+        s = F.slice(F.col("v"), j * dsub + 1, dsub)
+        cand = F.array(*[
+            F.struct(
+                F.round(
+                    dot(s, s)
+                    - F.lit(2.0) * dot(s, F.array(*[F.lit(x) for x in cw]))
+                    + F.lit(sum(x * x for x in cw)),
+                    6,
+                ).alias("d2"),
+                F.lit(c).alias("code"),
+            )
+            for c, cw in enumerate(codebooks[j])
+        ])
+        code_cols.append(F.array_min(cand)["code"])
+    return v.select("vec_id", F.array(*code_cols).alias("codes"))
+
+
+def pq_search(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebooks: list[list[list[float]]],
+    topk: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_query_rows: int = 100_000,
+    emb: DataFrame | None = None,
+    rerank: int = 0,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) search: per query, the distance to a
+    coded vector is the sum over subspaces of a precomputed
+    ``LUT[j][code]`` = ||q_j − codebook_j[code]||² — so the corpus scan
+    never touches floats, only m small ints and one broadcast m×k
+    table per query.  Returns (query_id, rank, neighbor_id, d2) where
+    d2 is the ADC approximation (exact squared distance when
+    ``rerank`` > 0).
+
+    Plan: LUTs are computed driver-side from the (small, gated —
+    ``max_query_rows``) query set, broadcast, and the scan is one BHJ +
+    per-query window rank — the corpus is never shuffled, mirroring
+    brute_topk's shape but reading m bytes instead of dims floats per
+    row.  LUT entries rounded to 6 dp (replay parity).
+
+    ``rerank`` > 0 adds the FAISS-style REFINE stage: ADC shortlists
+    ``topk × rerank`` candidates per query, then EXACT squared
+    distances (one equi-join of the shortlist back to ``emb`` — at
+    10^12 rows this touches only the shortlisted float vectors, never
+    the corpus) re-rank to the final top-k.  PQ quantisation error then
+    only costs recall when a true neighbour falls outside the
+    shortlist, which widening ``rerank`` controls directly."""
+    q_rows = queries.select(
+        F.col(id_col).alias("i"), F.col(vec_col).cast("array<double>").alias("v")
+    ).limit(max_query_rows + 1).collect()
+    if len(q_rows) > max_query_rows:
+        raise ValueError(
+            f"pq_search builds one m×k LUT per query on the driver; got more "
+            f"than max_query_rows={max_query_rows} queries — raise the cap or "
+            "batch the query set"
+        )
+    import numpy as np
+
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    cent = np.array(codebooks, dtype=np.float64)  # (m, k, dsub)
+    lut_rows = []
+    for r in q_rows:
+        qv = np.array(r.v, dtype=np.float64).reshape(m, 1, dsub)
+        lut = np.round(((qv - cent) ** 2).sum(axis=2), 6)  # (m, k)
+        lut_rows.append((int(r.i), [[float(x) for x in row] for row in lut]))
+    spark = queries.sparkSession
+    qlut = spark.createDataFrame(lut_rows, "query_id long, lut array<array<double>>")
+    adc = F.round(
+        F.aggregate(
+            F.zip_with("codes", "lut", lambda c, row: F.element_at(row, c + 1)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    scored = (
+        codes.join(F.broadcast(qlut))
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), adc.alias("d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("d2").asc(), F.col("neighbor_id").asc())
+    if not rerank:
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= topk)
+            .select("query_id", "rank", "neighbor_id", "d2")
+        )
+    if emb is None:
+        raise ValueError("rerank > 0 needs the float table: pass emb=")
+    short = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk * rerank)
+        .drop("rank")
+    )
+    qvec = spark.createDataFrame(
+        [(int(r.i), [float(x) for x in r.v]) for r in q_rows],
+        "query_id long, qv array<double>",
+    )
+    nvec = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("nv"),
+    )
+    exact_d2 = F.round(
+        F.aggregate(
+            F.zip_with("qv", "nv", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    refined = (
+        short.join(nvec, "neighbor_id")
+        .join(F.broadcast(qvec), "query_id")
+        .select("query_id", "neighbor_id", exact_d2.alias("d2"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.col("d2").asc(), F.col("neighbor_id").asc())
+    return (
+        refined.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", "rank", "neighbor_id", "d2")
+    )
