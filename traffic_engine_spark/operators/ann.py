@@ -449,12 +449,12 @@ def pq_search(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("nv"),
     )
+    # qq - 2*qc + cc with sequential-fold dots: the repo's float-parity
+    # form (bit-identical to DuckDB list_dot_product — see kmeans_lloyd)
     exact_d2 = F.round(
-        F.aggregate(
-            F.zip_with("qv", "nv", lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
+        dot(F.col("qv"), F.col("qv"))
+        - F.lit(2.0) * dot(F.col("qv"), F.col("nv"))
+        + dot(F.col("nv"), F.col("nv")),
         6,
     )
     refined = (

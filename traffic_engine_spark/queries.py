@@ -1277,6 +1277,45 @@ def ann_topk(spark, sf_dir):
 
 
 @yq(
+    "ann_pq_refine",
+    """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+q AS (SELECT vec_id, emb FROM v WHERE vec_id < 8),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_dot_product(q.emb, q.emb)
+               - 2 * list_dot_product(q.emb, c.emb)
+               + list_dot_product(c.emb, c.emb), 6) AS d2
+  FROM q CROSS JOIN v c WHERE c.vec_id != q.vec_id),
+ranked AS (SELECT query_id, neighbor_id, d2,
+                  row_number() OVER (PARTITION BY query_id ORDER BY d2, neighbor_id) AS rank
+           FROM pairs)
+SELECT query_id, rank, neighbor_id, d2 FROM ranked WHERE rank <= 5
+""",
+)
+def ann_pq_refine(spark, sf_dir):
+    """Product-quantization ANN end-to-end (pq_train → pq_encode → ADC
+    shortlist → exact refine) at FULL shortlist width, where the refined
+    output must equal the exact L2 top-k — the DuckDB-checkable contract
+    for the whole PQ machinery (codebook training, encode argmin, LUT
+    broadcast, shortlist join-back, parity distance form).  The ADC
+    approximation quality at PARTIAL width — the part SQL cannot express
+    because the codes depend on trained codebooks — is pinned by
+    tests/test_infra.py::test_pq_encode_and_search_match_numpy_replay
+    (exact numpy-replay of codes, distances and ranking, plus a recall
+    floor).  Beyond-reference op: similarity-search family
+    (Jégou/Douze/Schmid TPAMI'11; FAISS IVF-PQ shape)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    books = ann.pq_train(emb, m=8, k=16, iters=3)
+    codes = ann.pq_encode(emb, books)
+    n = emb.count()
+    return ann.pq_search(
+        emb.filter(F.col("vec_id") < 8), codes, books,
+        topk=5, emb=emb, rerank=(n + 4) // 5,
+    )
+
+
+@yq(
     "ann_lsh_buckets",
     f"""
 SELECT vec_id, {_sql_lsh_bucket(8, 64)} AS bucket FROM embeddings
