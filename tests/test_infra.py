@@ -1993,3 +1993,42 @@ def test_pq_encode_and_search_match_numpy_replay(spark):
         tot += 5
     recall = hits / tot
     assert recall >= 0.6, f"PQ+refine recall@5 collapsed: {recall}"
+
+
+def test_ivfpq_search_composition(spark):
+    """IVF-PQ equals its parts: probing ALL cells reduces it to pq_search
+    (same ADC, same ranking); with refine and full shortlist width it
+    recovers the exact L2 top-k restricted to probed candidates; with
+    nprobe < all it returns topk rows per query from probed cells only."""
+    import pandas as pd
+
+    from traffic_engine_spark.operators import ann as A
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cv")
+    )
+    books = A.pq_train(emb, m=4, k=16, iters=3)
+    queries = emb.filter(F.col("vec_id") < 6)
+
+    # all cells probed == plain PQ ADC over the whole corpus
+    full = A.ivfpq_search(queries, emb, centroids, books, topk=5, nprobe=8)
+    plain = A.pq_search(queries, A.pq_encode(emb, books), books, topk=5)
+    cols = ["query_id", "rank", "neighbor_id", "d2"]
+    pd.testing.assert_frame_equal(
+        full.toPandas()[cols].sort_values(cols[:2]).reset_index(drop=True),
+        plain.toPandas()[cols].sort_values(cols[:2]).reset_index(drop=True),
+    )
+
+    # partial probes: 5 rows per query, all from probed cells
+    part = A.ivfpq_search(queries, emb, centroids, books, topk=5, nprobe=2,
+                          rerank=4).toPandas()
+    assert (part.groupby("query_id").size() == 5).all()
+    cells = A.ivf_assign(emb, centroids).toPandas().set_index("vec_id")["centroid_id"]
+    probed = (
+        A._centroid_rank(queries, centroids, "vec_id", "embedding")
+        .filter(F.col("rn") <= 2).select("vec_id", "centroid_id").toPandas()
+    )
+    allowed = probed.groupby("vec_id")["centroid_id"].agg(set).to_dict()
+    for r in part.itertuples():
+        assert cells[r.neighbor_id] in allowed[r.query_id]

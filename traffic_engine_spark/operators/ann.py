@@ -468,3 +468,114 @@ def pq_search(
         .filter(F.col("rank") <= topk)
         .select("query_id", "rank", "neighbor_id", "d2")
     )
+
+
+def ivfpq_search(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    codebooks: list[list[list[float]]],
+    topk: int = 5,
+    nprobe: int = 2,
+    rerank: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_query_rows: int = 100_000,
+) -> DataFrame:
+    """IVF-PQ: the composition that actually serves 10^12 vectors
+    (FAISS ``IndexIVFPQ`` shape).  IVF's coarse quantiser bounds WHICH
+    rows a query touches (``nprobe`` inverted lists — the corpus
+    partitioning key at scale); PQ bounds HOW MUCH each touched row
+    costs (m one-byte codes + a broadcast LUT instead of dims floats).
+    Optional ``rerank``: exact refine over the ADC shortlist
+    (``pq_search`` semantics).  Returns (query_id, rank, neighbor_id,
+    d2) — ADC approximation, exact when ``rerank`` > 0.
+
+    Plan: two broadcast centroid argmax passes (ivf_assign/_centroid_rank)
+    + one cell equi-join bound the candidates; the ADC scan over
+    candidates is a broadcast-LUT projection; refine joins only the
+    shortlist back to the float table.  The corpus is never shuffled."""
+    cells = ivf_assign(corpus, centroids, id_col, vec_col)
+    probes = (
+        _centroid_rank(queries, centroids, id_col, vec_col)
+        .filter(F.col("rn") <= nprobe)
+        .select(F.col("vec_id").alias("query_id"), "centroid_id")
+    )
+    codes = pq_encode(corpus, codebooks, id_col, vec_col)
+    cand_codes = (
+        codes.join(cells, "vec_id")
+        .join(F.broadcast(probes), "centroid_id")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", "vec_id", "codes")
+    )
+    q_rows = queries.select(
+        F.col(id_col).alias("i"), F.col(vec_col).cast("array<double>").alias("v")
+    ).limit(max_query_rows + 1).collect()
+    if len(q_rows) > max_query_rows:
+        raise ValueError(
+            f"ivfpq_search builds one m×k LUT per query on the driver; got "
+            f"more than max_query_rows={max_query_rows} queries"
+        )
+    import numpy as np
+
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    cent = np.array(codebooks, dtype=np.float64)
+    lut_rows = []
+    for r in q_rows:
+        qv = np.array(r.v, dtype=np.float64).reshape(m, 1, dsub)
+        lut_rows.append(
+            (int(r.i),
+             [[float(x) for x in row]
+              for row in np.round(((qv - cent) ** 2).sum(axis=2), 6)])
+        )
+    spark = queries.sparkSession
+    qlut = spark.createDataFrame(lut_rows, "query_id long, lut array<array<double>>")
+    adc = F.round(
+        F.aggregate(
+            F.zip_with("codes", "lut", lambda c, row: F.element_at(row, c + 1)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    scored = cand_codes.join(F.broadcast(qlut), "query_id").select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), adc.alias("d2")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("d2").asc(), F.col("neighbor_id").asc())
+    if not rerank:
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= topk)
+            .select("query_id", "rank", "neighbor_id", "d2")
+        )
+    short = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk * rerank)
+        .drop("rank")
+    )
+    qvec = spark.createDataFrame(
+        [(int(r.i), [float(x) for x in r.v]) for r in q_rows],
+        "query_id long, qv array<double>",
+    )
+    nvec = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("nv"),
+    )
+    exact_d2 = F.round(
+        dot(F.col("qv"), F.col("qv"))
+        - F.lit(2.0) * dot(F.col("qv"), F.col("nv"))
+        + dot(F.col("nv"), F.col("nv")),
+        6,
+    )
+    refined = (
+        short.join(nvec, "neighbor_id")
+        .join(F.broadcast(qvec), "query_id")
+        .select("query_id", "neighbor_id", exact_d2.alias("d2"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.col("d2").asc(), F.col("neighbor_id").asc())
+    return (
+        refined.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", "rank", "neighbor_id", "d2")
+    )
