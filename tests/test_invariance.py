@@ -41,6 +41,9 @@ ENTRIES = [
     "sample_stratified",
     "traffic_viterbi_match",
     "multimodal_phash_pairs",
+    # PQ: codebook training (orderBy-pinned sample), encode argmin and ADC
+    # ranking must not depend on layout (yardstick registry)
+    "ann_pq_refine",
 ]
 
 
@@ -61,7 +64,7 @@ def _canon(pdf: pd.DataFrame) -> pd.DataFrame:
 
 @pytest.mark.parametrize("name", ENTRIES)
 def test_result_invariant_to_shuffle_partitioning(spark, name):
-    fn = Q.REGISTRY[name][0]
+    fn = (Q.REGISTRY.get(name) or Q.YARDSTICKS[name])[0]
     base = spark.conf.get("spark.sql.shuffle.partitions")
     a = _canon(fn(spark, SF).toPandas())
     try:
