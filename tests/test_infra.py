@@ -2032,3 +2032,51 @@ def test_ivfpq_search_composition(spark):
     allowed = probed.groupby("vec_id")["centroid_id"].agg(set).to_dict()
     for r in part.itertuples():
         assert cells[r.neighbor_id] in allowed[r.query_id]
+
+
+def test_compact_table_fuzz_random_shapes(spark, tmp_path):
+    """Randomized compaction fuzz: random row counts / fragment counts /
+    value ranges (one draw includes NULL coordinates) — content must be
+    row-identical both directions every draw, and non-null-keyed output
+    files must own disjoint Morton ranges."""
+    import numpy as np
+    import pandas as pd
+
+    from traffic_engine_spark.sources.maintenance import (
+        cluster_key_file_ranges,
+        compact_table,
+    )
+
+    for seed in (11, 12, 13):
+        rng = np.random.RandomState(seed)
+        n = int(rng.randint(500, 20000))
+        nf = int(rng.randint(2, 40))
+        lat = rng.uniform(-80, 80, n)
+        lon = rng.uniform(-179, 179, n)
+        pdf = pd.DataFrame(
+            {
+                "image_id": [f"s{seed}_{i}" for i in range(n)],
+                "lat": lat,
+                "lon": lon,
+                "n": rng.randint(0, 1 << 30, n),
+            }
+        )
+        if seed == 13:  # corrupt-corpus posture: a few null coordinates
+            idx = rng.choice(n, max(1, n // 100), replace=False)
+            pdf.loc[idx, "lat"] = None
+        frag = str(tmp_path / f"frag{seed}")
+        out = str(tmp_path / f"out{seed}")
+        spark.createDataFrame(pdf).repartition(nf).write.mode(
+            "overwrite"
+        ).parquet(frag)
+        compact_table(
+            spark, frag, out, target_file_mb=0.2, cluster=("lat", "lon"),
+            keep_cluster_key=True,
+        )
+        a = spark.read.parquet(frag)
+        b = spark.read.parquet(out).drop("_morton_cluster_key")
+        assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty(), seed
+        ranges = sorted(r for r in cluster_key_file_ranges(out)
+                        if r[0] is not None)
+        for (lo1, hi1), (lo2, _) in zip(ranges, ranges[1:]):
+            assert lo1 <= hi1 < lo2, (seed, ranges)
