@@ -21,7 +21,11 @@ both read clean.  Canaries are re-read after each phase; a pairing whose
 end canaries degraded is recorded to the attempts ledger and retried.
 
 Usage: python tools/pairing_watch.py [--max-hours 4] [--traces 256000]
-Writes: scaling_r5_exec2.json / strong_union_r5b.json on a clean pass,
+                                     [--out-suffix NAME]
+Writes: scaling_r5_exec_{suffix}.json / strong_union_r5_{suffix}.json on
+        a clean pass (default suffix "watch" — never reuse a suffix that
+        already names a recorded attempt: the 2026-08-18 512k run
+        clobbered the voided-attempt raws BENCH.md cited),
         one ledger line per attempt to scaling_r5_attempts.jsonl.
 """
 
@@ -103,10 +107,13 @@ def run_pairing(traces: int) -> dict:
 def main() -> None:
     max_hours = 4.0
     traces = 256000
+    suffix = "watch"
     if "--max-hours" in sys.argv:
         max_hours = float(sys.argv[sys.argv.index("--max-hours") + 1])
     if "--traces" in sys.argv:
         traces = int(sys.argv[sys.argv.index("--traces") + 1])
+    if "--out-suffix" in sys.argv:
+        suffix = sys.argv[sys.argv.index("--out-suffix") + 1]
     t0 = time.time()
     attempt = 0
     while time.time() - t0 < max_hours * 3600:
@@ -134,8 +141,13 @@ def main() -> None:
             except OSError:
                 pass
         mid_bw, end_bw = res["canaries"]["mid"][0], res["canaries"]["end"][0]
+        # Absolute floor AND bounded drift: the 2026-08-18 512k attempt
+        # decayed 36.7 -> 33.5 -> 31.4 GiB/s — every sample above the
+        # floor, yet the concurrent phases ran 33% slow.  A window whose
+        # bandwidth moves >10% across the run is not one window.
+        drift_ok = min(mid_bw, end_bw) >= 0.90 * bw
         clean = (
-            mid_bw >= MEMBW_MIN and end_bw >= MEMBW_MIN
+            mid_bw >= MEMBW_MIN and end_bw >= MEMBW_MIN and drift_ok
             and res["exec"]["host_load"]["single_phase"]["clean"]
             and res["exec"]["host_load"]["multi_phase"]["clean"]
         )
@@ -152,9 +164,11 @@ def main() -> None:
         }
         ledger(note)
         if clean:
-            with open(os.path.join(REPO, "scaling_r5_exec2.json"), "w") as f:
+            with open(os.path.join(
+                    REPO, f"scaling_r5_exec_{suffix}.json"), "w") as f:
                 json.dump(res["exec"], f)
-            with open(os.path.join(REPO, "strong_union_r5b.json"), "w") as f:
+            with open(os.path.join(
+                    REPO, f"strong_union_r5_{suffix}.json"), "w") as f:
                 json.dump(res["union"], f)
             print(json.dumps({k: res[k] for k in
                               ("weak", "strong", "canaries", "window_clean")}),
