@@ -1972,6 +1972,41 @@ def tile_pyramid(spark, sf_dir):
     )
 
 
+@yq(
+    "pbf_roundtrip",
+    f"""
+WITH {PTS_CTE}
+SELECT user_id % 16 AS source_id, user_id AS vehicle_id, ts_ms AS ts,
+       lat, lon, CAST(event_id % 360 AS INT) AS heading,
+       CAST(value AS FLOAT) AS speed
+FROM pts
+""",
+)
+def pbf_roundtrip(spark, sf_dir):
+    """S4 — the protobuf exchange wire format (sources/pbf.py; descriptor
+    ExchangeFormat.java:10516-10549): GPS-shaped fixes → one
+    VehicleMessageEnvelope payload per source (applyInPandas; the source
+    key is the shuffle key and the payload unit) → decoded back to fix
+    rows (mapInPandas).  The oracle is the identity selection — a binary
+    codec is correct iff encode∘decode is the identity on the multiset,
+    which this DuckDB gate checks value-by-value (int64 varints, IEEE
+    doubles, optional int32 + float32 fields all traverse the wire).
+    Pytest-only: the driver window is at its 50-entry cap; golden-byte
+    and BaselineTile layers live in tests/test_pbf.py."""
+    from .sources import pbf
+
+    fixes = _points(spark, sf_dir).select(
+        (F.col("user_id") % 16).alias("source_id"),
+        F.col("user_id").alias("vehicle_id"),
+        F.col("ts_ms").alias("ts"),
+        "lat",
+        "lon",
+        (F.col("event_id") % 360).cast("int").alias("heading"),
+        F.col("value").cast("float").alias("speed"),
+    )
+    return pbf.envelopes_to_fixes(pbf.fixes_to_envelopes(fixes))
+
+
 # ---------------------------------------------------------------------------
 
 
