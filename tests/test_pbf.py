@@ -188,3 +188,88 @@ def test_spark_baseline_tile_roundtrip(spark):
 def test_differential_vs_google_protobuf():
     gp = pytest.importorskip("google.protobuf")  # not in this container
     del gp
+
+
+def test_envelope_roundtrip_property_fuzz():
+    """decode ∘ encode is the identity on arbitrary envelopes: full-range
+    int64 ids/timestamps (negative → 10-byte two's-complement varints),
+    arbitrary finite doubles, optional int32/float32 fields, empty
+    location lists and empty envelopes."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    i64 = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+    dbl = st.floats(allow_nan=False, allow_infinity=False, width=64)
+    loc = st.tuples(
+        i64, dbl, dbl,
+        st.one_of(st.none(),
+                  st.integers(min_value=-(2**31), max_value=2**31 - 1)),
+        st.one_of(st.none(),
+                  st.floats(allow_nan=False, allow_infinity=False, width=32)),
+    )
+    msg = st.tuples(i64, st.lists(loc, max_size=5))
+    env = st.tuples(st.one_of(st.none(), i64), st.lists(msg, max_size=4))
+
+    @settings(max_examples=200, deadline=None)
+    @given(env)
+    def check(e):
+        source_id, messages = e
+        buf = pbf.encode_envelope(source_id, messages)
+        got = pbf.decode_envelope(buf)
+        assert got["source_id"] == source_id
+        assert len(got["messages"]) == len(messages)
+        for m_got, (vid, locs) in zip(got["messages"], messages):
+            assert m_got["vehicle_id"] == vid
+            assert len(m_got["locations"]) == len(locs)
+            for l_got, (ts, lat, lon, heading, speed) in zip(
+                    m_got["locations"], locs):
+                assert l_got["timestamp"] == ts
+                assert l_got["lat"] == lat and l_got["lon"] == lon
+                assert l_got["heading"] == heading
+                assert l_got["speed"] == speed
+
+    check()
+
+
+def test_streaming_envelope_ingest_matches_batch(spark, tmp_path):
+    """read_envelope_stream (S3×S4): availableNow over an envelope parquet
+    directory produces exactly the batch decode's fix rows in the
+    streaming FIX_SCHEMA shape."""
+    from traffic_engine_spark.streaming.match_stream import FIX_SCHEMA
+
+    pdf = pd.DataFrame({
+        "source_id": [1, 1, 2, 2, 2],
+        "vehicle_id": [7, 8, 7, 7, 9],
+        "ts": [1000, 1500, 500, 900, 1],
+        "lat": [37.5, 37.6, -1.25, -1.26, 0.0],
+        "lon": [-122.5, -122.6, 3.5, 3.6, 0.0],
+        "heading": pd.array([None] * 5, dtype="Int32"),
+        "speed": pd.array([None] * 5, dtype="Float32"),
+    })
+    fixes = spark.createDataFrame(pdf, schema=pbf.FIX_SCHEMA)
+    env_dir = str(tmp_path / "envelopes")
+    pbf.fixes_to_envelopes(fixes).select("source_id", "payload") \
+        .write.parquet(env_dir)
+
+    stream = pbf.read_envelope_stream(spark, env_dir)
+    assert stream.isStreaming
+    want_schema = spark.createDataFrame([], FIX_SCHEMA).schema
+    assert [(f.name, f.dataType) for f in stream.schema.fields] == \
+        [(f.name, f.dataType) for f in want_schema.fields]
+    q = (stream.writeStream.format("memory").queryName("pbf_ingest")
+         .trigger(availableNow=True)
+         .option("checkpointLocation", str(tmp_path / "ckpt")).start())
+    q.awaitTermination(120)
+    got = (spark.table("pbf_ingest").toPandas()
+           .sort_values(["trace_id", "ts"]).reset_index(drop=True))
+    want = (pdf.rename(columns={"vehicle_id": "trace_id"})
+            [["trace_id", "ts", "lat", "lon"]]
+            .sort_values(["trace_id", "ts"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got[["trace_id", "ts", "lat", "lon"]], want, check_dtype=False)
+    # image_id is the deterministic source-vehicle-ts triplet
+    src = {(v, t): s for s, v, t in
+           zip(pdf["source_id"], pdf["vehicle_id"], pdf["ts"])}
+    expect_ids = [f"{src[(r.trace_id, r.ts)]}-{r.trace_id}-{r.ts}"
+                  for r in got.itertuples(index=False)]
+    assert got["image_id"].tolist() == expect_ids

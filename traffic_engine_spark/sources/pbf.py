@@ -53,7 +53,8 @@ import struct
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
     DoubleType,
@@ -418,6 +419,23 @@ def envelopes_to_fixes(envelopes: DataFrame,
             yield out
 
     return envelopes.mapInPandas(_decode, FIX_SCHEMA)
+
+
+def read_envelope_stream(spark: SparkSession, path: str) -> DataFrame:
+    """S3×S4 — streaming ingest of envelope payloads: readStream over a
+    parquet directory of (source_id, payload) rows → the streaming
+    pipeline's fix-source shape (streaming/match_stream.FIX_SCHEMA), so
+    wire-format feeds compose with the medallion exactly like the image
+    table does.  The decode is the same mapInPandas kernel as the batch
+    path (one code path, no drift); image_id is the deterministic
+    source/vehicle/ts triplet (the wire format carries no image ids)."""
+    env = spark.readStream.schema(
+        "source_id long, payload binary").parquet(path)
+    return envelopes_to_fixes(env).select(
+        F.concat_ws("-", "source_id", "vehicle_id", "ts").alias("image_id"),
+        F.col("vehicle_id").alias("trace_id"),
+        "ts", "lat", "lon",
+    )
 
 
 TILE_PBF_SCHEMA = StructType([
