@@ -202,6 +202,15 @@ def main() -> None:
                              if not ratio_ok else "degraded mid-run")),
         }
         ledger(note)
+        if not clean:
+            # keep the FULL raws of voided attempts too (exec host_load,
+            # vmstat deltas, per-child walls): the 2026-08-18 morning
+            # series showed the void diagnosis needs the in-run channels,
+            # and ledger one-liners lose them
+            ts = time.strftime("%H%M%S", time.gmtime())
+            with open(os.path.join(
+                    REPO, f"scaling_r5_void_{suffix}_{ts}.json"), "w") as f:
+                json.dump(res, f)
         if clean:
             with open(os.path.join(
                     REPO, f"scaling_r5_exec_{suffix}.json"), "w") as f:

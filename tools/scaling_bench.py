@@ -30,6 +30,43 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 BENCH_DIR = os.environ.get("SPARK_GRAFT_BENCH_DIR", "/root/repo/.bench_data")
 
+# /proc/vmstat counters that expose the reclaim/compaction stall paths no
+# other channel records (iowait misses direct reclaim; steal misses THP
+# compaction; the membw canary runs OUTSIDE the stalled cgroup): if the
+# multi-executor phase is slow because 4x16g pre-touched heaps + the 4x
+# parquet working set push the box into memory pressure, these deltas say
+# so directly.
+_VMSTAT_KEYS = (
+    "allocstall_normal", "allocstall_movable", "compact_stall",
+    "pgscan_kswapd", "pgscan_direct", "pgsteal_kswapd", "pgsteal_direct",
+    "pgmajfault", "thp_collapse_alloc_failed",
+)
+
+
+def vm_snap() -> dict:
+    out = {}
+    try:
+        with open("/proc/vmstat") as f:
+            for line in f:
+                k, _, v = line.partition(" ")
+                if k in _VMSTAT_KEYS:
+                    out[k] = int(v)
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith(("MemAvailable:", "Cached:")):
+                    out[line.split(":")[0]] = int(line.split()[1]) // 1024  # MiB
+    except OSError:
+        pass
+    return out
+
+
+def vm_delta(a: dict, b: dict) -> dict:
+    d = {k: b[k] - a[k] for k in _VMSTAT_KEYS if k in a and k in b}
+    for k in ("MemAvailable", "Cached"):
+        if k in a and k in b:
+            d[k + "_mib"] = [a[k], b[k]]
+    return d
+
 
 def run_child(cpus: int, traces: int, offset: int = 0, paths: list | None = None) -> dict:
     """One measured executor.  Default: a single generated slice
@@ -182,6 +219,63 @@ def main():
         print(json.dumps(run_child(cpus, traces, offset)))
         return
 
+    if "--multi-only" in sys.argv:
+        # Diagnostic: JUST the K-concurrent-executor phase (no single, no
+        # union) with vmstat stall deltas — built to decide whether the
+        # repeated 512k 4x-phase slowdowns (model ratios 0.51-0.67 while
+        # every load/steal/iowait/fault channel reads clean, ledger
+        # 2026-08-18) are a time-varying host phase or a SIZE-DEPENDENT
+        # protocol artifact (4x16g pre-touched heaps + 4x parquet working
+        # set -> reclaim/compaction stalls).  Run back-to-back at two
+        # sizes in one window: host phase hits both, size artifact hits
+        # only the larger.
+        nexec = 4
+        if "--nexec" in sys.argv:
+            nexec = int(sys.argv[sys.argv.index("--nexec") + 1])
+        if "SPARK_GRAFT_CHILD_HEAP_GB" not in os.environ:
+            mem_kb = 0
+            with open("/proc/meminfo") as f:
+                for line in f:
+                    if line.startswith("MemTotal:"):
+                        mem_kb = int(line.split()[1])
+                        break
+            cap = max(4, int(mem_kb / 1024 / 1024 * 0.55 / nexec))
+            os.environ["SPARK_GRAFT_CHILD_HEAP_GB"] = str(min(16, cap))
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        d = traces // 4
+        for i in range(nexec):
+            subprocess.run(
+                [sys.executable, "-c",
+                 "import sys; sys.path.insert(0, %r);"
+                 "from traffic_engine_spark import get_spark;"
+                 "from traffic_engine_spark.datagen.bench_data import ensure_bench_images;"
+                 "s = get_spark(cores=16);"
+                 "ensure_bench_images(s, %r, n_traces=%d, trace_offset=%d); s.stop()"
+                 % (repo, os.path.join(BENCH_DIR, f"images_{d}" + (f"_off{i*d}" if i else "")), d, i * d)],
+                cwd=repo, capture_output=True, text=True)
+        vm0 = vm_snap()
+        procs = [
+            subprocess.Popen(
+                ["taskset", "-c", f"{i*2}-{i*2+1}", sys.executable, __file__,
+                 "--child", "2", "--traces", str(d), "--offset", str(i * d)],
+                stdout=subprocess.PIPE, text=True, cwd=repo)
+            for i in range(nexec)
+        ]
+        outs = [json.loads(p.communicate()[0].strip().splitlines()[-1]) for p in procs]
+        vm1 = vm_snap()
+        model = [
+            round((12.0 + 31.3 * o["rows"] / 13.3e6) / o["wall_sec"], 3)
+            for o in outs
+        ]
+        print(json.dumps({
+            "mode": "multi_only", "n_executors": nexec, "traces": traces,
+            "heap_gb": os.environ["SPARK_GRAFT_CHILD_HEAP_GB"],
+            "walls": [o["wall_sec"] for o in outs],
+            "model_ratios": model,
+            "vmstat": vm_delta(vm0, vm1),
+        }))
+        return
+
     if "--executors" in sys.argv:
         # Multi-executor weak scaling: N=1 executor (2 pinned cores) on D
         # traces vs K executor PROCESSES (2 pinned cores each, disjoint
@@ -291,17 +385,21 @@ def main():
         fault_fresh_pre = fault_probe_fresh()
         membw_pre = wait_membw("single_phase")
         fault_pre = wait_fault_calm("single_phase")
+        vm0 = vm_snap()
         h0 = mon.snapshot()
         single = json.loads(
             subprocess.run(["taskset", "-c", "0-1", sys.executable, __file__,
                             "--child", "2", "--traces", str(d)],
                            capture_output=True, text=True, cwd=repo).stdout.strip().splitlines()[-1])
         h1 = mon.snapshot()
+        vm1 = vm_snap()
         membw_mid = wait_membw("multi_phase")
         fault_mid = wait_fault_calm("multi_phase")
+        vm2 = vm_snap()
         procs = [spawn(i * 2, i * 2 + 1, i * d) for i in range(nexec)]
         outs = [json.loads(p.communicate()[0].strip().splitlines()[-1]) for p in procs]
         h2 = mon.snapshot()
+        vm3 = vm_snap()
         fault_post = round(fault_probe(), 3)
         fault_fresh_post = fault_probe_fresh()
         membw_end = round(membw_probe(), 2)
@@ -317,7 +415,10 @@ def main():
                 # (hostload.fault_probe_fresh) — these are the window
                 # classifiers; the in-child worker ramps are the mitigation
                 "fault_fresh_gibs": [fault_fresh_pre, fault_fresh_post],
-                "membw_gibs": [membw_pre, membw_mid, membw_end]}
+                "membw_gibs": [membw_pre, membw_mid, membw_end],
+                # reclaim/compaction stall deltas per phase (vm_snap doc)
+                "vmstat_single": vm_delta(vm0, vm1),
+                "vmstat_multi": vm_delta(vm2, vm3)}
         slowest = max(o["wall_sec"] for o in outs)
         weak = single["wall_sec"] / slowest
         agg_rows = sum(o["rows"] for o in outs)
