@@ -96,25 +96,32 @@ def run_pairing(traces: int) -> dict:
     # sentinel so a co-located operator/agent can avoid launching heavy
     # work while a measurement is in flight (removed in main())
     open(os.path.join(REPO, ".pairing_running"), "w").write(str(os.getpid()))
-    r1 = subprocess.run(
-        [sys.executable, "tools/scaling_bench.py", "--executors",
-         "--traces", str(traces)],
+    # UNION FIRST: it is the longest phase (~292 s at 512k) and the one
+    # whose slowdown INFLATES strong efficiency (strong = union/(4 x
+    # slowest)), so it gets the freshest just-verified window.  Residual
+    # decay then lands in the short single/4x phases, where it deflates
+    # both gates — measurement drift becomes conservative instead of
+    # flattering (attempt 3, 09:18Z: every exec phase at model 0.99-1.06
+    # but the trailing union ran 0.899 in the decay tail and would have
+    # inflated strong to 0.966 vs the ~0.87 a clean union gives).
+    r2 = subprocess.run(
+        ["taskset", "-c", "0-1", sys.executable, "tools/scaling_bench.py",
+         "--strong-union", "--traces", str(traces)],
         capture_output=True, text=True, cwd=REPO)
-    e = json.loads(r1.stdout.strip().splitlines()[-1])
-    # hold the union phase until the bandwidth canary recovers (bounded):
-    # waiting is correct for the external membw phase, and a degraded
-    # union void the whole attempt (ledger: attempt 2, membw 27 mid)
+    u = json.loads(r2.stdout.strip().splitlines()[-1])
+    # hold the exec pairing until the bandwidth canary recovers (bounded):
+    # waiting is correct for the external membw phase
     t_wait = time.time()
     while time.time() - t_wait < 900:
         bw_mid, ff_mid = probes()
         if bw_mid >= MEMBW_MIN and ff_mid >= FRESH_MIN:
             break
         time.sleep(20)
-    r2 = subprocess.run(
-        ["taskset", "-c", "0-1", sys.executable, "tools/scaling_bench.py",
-         "--strong-union", "--traces", str(traces)],
+    r1 = subprocess.run(
+        [sys.executable, "tools/scaling_bench.py", "--executors",
+         "--traces", str(traces)],
         capture_output=True, text=True, cwd=REPO)
-    u = json.loads(r2.stdout.strip().splitlines()[-1])
+    e = json.loads(r1.stdout.strip().splitlines()[-1])
     bw_end, ff_end = probes()
     slowest = max(o["wall_sec"] for o in e["executors_4x"])
     ratios = {"single": model_ratio(e["single_executor"]["rows"],
