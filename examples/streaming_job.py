@@ -32,6 +32,10 @@ crash never double-counts (sources/store.merge_sum(op_id=...)).
 Optionally front query 1 with a third (bronze) query running the per-tile
 RELEASE gate (W3): `--stage gate --fixes <raw> --gated <gated>` writes the
 gated-fixes table; point the crossings stage's --fixes at that table.
+
+Wire-format feeds: `--fixes-format pbf` reads the S4 protobuf
+VehicleMessageEnvelope payloads instead of parquet fix rows
+(sources/pbf.read_envelope_stream — same downstream kernels).
 """
 
 from __future__ import annotations
@@ -47,6 +51,11 @@ def main():
     ap.add_argument("--silver", help="silver crossing log path")
     ap.add_argument("--gated", help="gated-fixes output (stage=gate)")
     ap.add_argument("--store", help="histogram SnapshotStore root (stage=samples)")
+    ap.add_argument(
+        "--fixes-format", choices=["parquet", "pbf"], default="parquet",
+        help="fix source layout: parquet fix rows, or pbf "
+             "VehicleMessageEnvelope payloads (S4 wire format, "
+             "sources/pbf.read_envelope_stream)")
     ap.add_argument("--checkpoint", required=True)
     args = ap.parse_args()
     required = {
@@ -72,9 +81,16 @@ def main():
     spark = SparkSession.builder.appName(f"traffic_stream_{args.stage}").getOrCreate()
     fix_schema = FIX_SCHEMA
 
+    def read_fixes():
+        if args.fixes_format == "pbf":
+            from traffic_engine_spark.sources.pbf import read_envelope_stream
+
+            return read_envelope_stream(spark, args.fixes)
+        return spark.readStream.schema(fix_schema).parquet(args.fixes)
+
     if args.stage == "gate":
         q = (
-            gate_fixes_stream(spark.readStream.schema(fix_schema).parquet(args.fixes))
+            gate_fixes_stream(read_fixes())
             .writeStream.format("parquet").option("path", args.gated)
             .option("checkpointLocation", args.checkpoint)
             .outputMode("append").start()
@@ -82,9 +98,7 @@ def main():
     elif args.stage == "crossings":
         tls = spark.read.parquet(f"{args.network}/triplines")
         q = (
-            stream_crossings(
-                spark.readStream.schema(fix_schema).parquet(args.fixes), tls
-            )
+            stream_crossings(read_fixes(), tls)
             .writeStream.format("parquet").option("path", args.silver)
             .option("checkpointLocation", args.checkpoint)
             .outputMode("append").start()

@@ -1973,6 +1973,58 @@ def tile_pyramid(spark, sf_dir):
 
 
 @yq(
+    "set_ops",
+    f"""
+WITH {PTS_CTE},
+a AS (SELECT CASE WHEN user_id % 11 = 0 THEN NULL ELSE user_id % 50 END AS k
+      FROM pts WHERE event_id % 3 = 0),
+b AS (SELECT CASE WHEN user_id % 13 = 0 THEN NULL ELSE user_id % 50 END AS k
+      FROM pts WHERE event_id % 2 = 0)
+SELECT 'union_distinct' AS op, k FROM (SELECT k FROM a UNION SELECT k FROM b)
+UNION ALL
+SELECT 'intersect_distinct' AS op, k
+FROM (SELECT k FROM a INTERSECT SELECT k FROM b)
+UNION ALL
+SELECT 'intersect_all' AS op, k
+FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b)
+UNION ALL
+SELECT 'except_distinct' AS op, k
+FROM (SELECT k FROM a EXCEPT SELECT k FROM b)
+UNION ALL
+SELECT 'except_all' AS op, k FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b)
+""",
+)
+def set_ops(spark, sf_dir):
+    """§2.6 — ANSI set operations, previously documented-n/a (the
+    reference has none).  One tagged output per operator so a single
+    DuckDB gate pins ALL the semantics that differ between naive
+    implementations: distinct vs multiset (INTERSECT/EXCEPT vs their ALL
+    forms) and null-safe grouping equality (NULL keys participate — both
+    inputs are built with forced NULLs and forced collisions).  All five
+    are single-shuffle hash ops in Spark (partial aggregation map-side);
+    nothing here needs a custom operator, which is itself the §2.6
+    answer: declare the set op, let Catalyst plan it."""
+    pts = _points(spark, sf_dir)
+    k = F.when(F.col("user_id") % 11 == 0, F.lit(None)).otherwise(
+        F.col("user_id") % 50).alias("k")
+    kb = F.when(F.col("user_id") % 13 == 0, F.lit(None)).otherwise(
+        F.col("user_id") % 50).alias("k")
+    a = pts.filter(F.col("event_id") % 3 == 0).select(k)
+    b = pts.filter(F.col("event_id") % 2 == 0).select(kb)
+
+    def tag(name, df):
+        return df.select(F.lit(name).alias("op"), "k")
+
+    return (
+        tag("union_distinct", a.union(b).distinct())
+        .unionByName(tag("intersect_distinct", a.intersect(b)))
+        .unionByName(tag("intersect_all", a.intersectAll(b)))
+        .unionByName(tag("except_distinct", a.subtract(b)))
+        .unionByName(tag("except_all", a.exceptAll(b)))
+    )
+
+
+@yq(
     "pbf_roundtrip",
     f"""
 WITH {PTS_CTE}
