@@ -1631,6 +1631,23 @@ def test_iceberg_backend_sql_shapes(spark):
     be.read(snapshot_id=42)
     assert captured[-1].endswith("VERSION AS OF 42")
 
+    be.expire_snapshots(retain_last=3, older_than_ts=0.0)
+    e = captured[-1]
+    assert e.startswith("CALL cat.system.expire_snapshots(")
+    assert "table => 'cat.db.hist'" in e and "retain_last => 3" in e
+    assert "older_than => TIMESTAMP '1970-01-01 00:00:00'" in e
+
+    be.remove_orphan_files()
+    assert captured[-1] == (
+        "CALL cat.system.remove_orphan_files(table => 'cat.db.hist')"
+    )
+
+    be.changes(7, 9)
+    call, sel = captured[-2], captured[-1]
+    assert call.startswith("CALL cat.system.create_changelog_view(")
+    assert "'start-snapshot-id', '7'" in call and "'end-snapshot-id', '9'" in call
+    assert sel.startswith("SELECT * FROM _te_changes_")
+
 
 def test_snapshot_store_table_param_falls_back_without_jar(spark, tmp_path):
     """Call sites are unchanged on a real cluster: passing `table=` probes
@@ -1662,6 +1679,100 @@ def test_iceberg_backend_integration(spark, tmp_path):
     st.merge_sum(df, ["n"], op_id="x")
     st.merge_sum(df, ["n"], op_id="x")  # replay must not double-apply
     assert int(st.read().agg({"n": "sum"}).first()[0]) == 5
+
+
+def test_snapshot_store_expire_and_orphans(spark, tmp_path):
+    """Iceberg lifecycle twins on the parquet fallback: expire_snapshots
+    deletes old snapshot DATA but keeps the tombstoned log entry (so the
+    op_id replay index survives expiry — a re-delivered microbatch whose
+    snapshot was expired must still be skipped), time travel to an expired
+    id raises, the newest retain_last snapshots are untouchable, and
+    remove_orphan_files deletes exactly the unreferenced snap-* debris a
+    crashed writer leaves behind."""
+    from traffic_engine_spark.sources.store import SnapshotStore
+
+    store = SnapshotStore(spark, str(tmp_path / "st"), ["k"])
+    store.overwrite(spark.createDataFrame([(1, 10)], "k long, n long"))  # 0
+    store.merge_sum(
+        spark.createDataFrame([(1, 5), (2, 7)], "k long, n long"), ["n"],
+        op_id="batch-7",
+    )  # 1
+    store.merge_sum(
+        spark.createDataFrame([(2, 1)], "k long, n long"), ["n"]
+    )  # 2
+
+    res = store.expire_snapshots(retain_last=2)
+    assert res["expired"] == [0] and res["retained"] == [1, 2]
+    assert res["freed_bytes"] > 0
+    assert not os.path.isdir(str(tmp_path / "st" / "snap-000000"))
+    with pytest.raises(ValueError, match="expired"):
+        store.read(0)
+    # live snapshots and current state unaffected
+    assert store.read(1).count() == 2
+    assert int(store.read().agg({"n": "sum"}).first()[0]) == 23
+    # replay protection survives expiry of... snapshot 1 is retained here,
+    # so also expire it via a newer commit + second expire
+    store.overwrite(spark.createDataFrame([(9, 9)], "k long, n long"))  # 3
+    store.expire_snapshots(retain_last=1)
+    fresh = SnapshotStore(spark, str(tmp_path / "st"), ["k"])  # re-reads log
+    skip = fresh.merge_sum(
+        spark.createDataFrame([(1, 5), (2, 7)], "k long, n long"), ["n"],
+        op_id="batch-7",
+    )
+    assert skip["operation"] == "merge-sum-replay-skip"
+    # expiring the current snapshot is impossible
+    with pytest.raises(ValueError, match="retain_last"):
+        store.expire_snapshots(retain_last=0)
+
+    # orphan debris: a snap dir no log entry references
+    orphan = tmp_path / "st" / "snap-000099"
+    orphan.mkdir()
+    (orphan / "part-junk.parquet").write_bytes(b"x" * 64)
+    res = store.remove_orphan_files()
+    assert res["removed"] == ["snap-000099"] and res["freed_bytes"] == 64
+    assert not orphan.exists()
+    assert store.read(3).count() == 1  # live snapshot untouched
+
+
+def test_snapshot_store_changes_cdc(spark, tmp_path):
+    """Incremental changelog read (Iceberg CDC shape): _change_type tags
+    diff the two pinned versions on the logical key — inserts, deletes,
+    and update pre/post images; a zero-length range is empty with the
+    full schema.  This is the read path that lets a downstream consumer
+    process a commit's delta instead of rescanning the table."""
+    from traffic_engine_spark.sources.store import SnapshotStore
+
+    store = SnapshotStore(spark, str(tmp_path / "cdc"), ["k"])
+    store.overwrite(
+        spark.createDataFrame([(1, 10), (2, 20), (3, 30)], "k long, n long")
+    )  # snap 0
+    store.merge_sum(
+        spark.createDataFrame([(2, 5), (4, 40)], "k long, n long"), ["n"]
+    )  # snap 1: k=2 updated to 25, k=4 inserted
+    store.overwrite(
+        spark.createDataFrame([(1, 10), (2, 25), (4, 40)], "k long, n long")
+    )  # snap 2: k=3 deleted
+
+    delta = store.changes(0, 1)
+    assert delta.columns == ["k", "n", "_change_type"]
+    got = sorted(tuple(r) for r in delta.collect())
+    assert got == [
+        (2, 20, "update_preimage"),
+        (2, 25, "update_postimage"),
+        (4, 40, "insert"),
+    ]
+    got2 = sorted(tuple(r) for r in store.changes(1, 2).collect())
+    assert got2 == [(3, 30, "delete")]
+    # default end = current snapshot; composition over the full range
+    full = sorted(tuple(r) for r in store.changes(0).collect())
+    assert full == [
+        (2, 20, "update_preimage"),
+        (2, 25, "update_postimage"),
+        (3, 30, "delete"),
+        (4, 40, "insert"),
+    ]
+    empty = store.changes(1, 1)
+    assert empty.count() == 0 and empty.columns == ["k", "n", "_change_type"]
 
 
 def test_hostload_tree_attribution():

@@ -28,6 +28,7 @@ integration test is skip-marked on `iceberg_catalog_available`.
 
 from __future__ import annotations
 
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -153,6 +154,53 @@ class IcebergStoreBackend:
         if op_id is not None:
             self._record_op_id(op_id)
         return result if result is not None else True
+
+    # -- lifecycle ------------------------------------------------------------
+
+    def _catalog(self) -> str:
+        # `catalog.db.table` -> `catalog`; a bare `db.table` name runs the
+        # procedure against the session catalog (`spark_catalog`), which is
+        # Iceberg's own default for unqualified CALLs
+        parts = self.table.split(".")
+        return parts[0] if len(parts) >= 3 else "spark_catalog"
+
+    def expire_snapshots(
+        self, retain_last: int = 1, older_than_ts: float | None = None
+    ):
+        """Canonical `CALL catalog.system.expire_snapshots(...)` — Iceberg
+        removes the expired snapshots' metadata AND any data files only
+        they reference."""
+        args = [f"table => '{self.table}'", f"retain_last => {int(retain_last)}"]
+        if older_than_ts is not None:
+            stamp = time.strftime(
+                "%Y-%m-%d %H:%M:%S", time.gmtime(older_than_ts)
+            )
+            args.append(f"older_than => TIMESTAMP '{stamp}'")
+        return self.run_sql(
+            f"CALL {self._catalog()}.system.expire_snapshots({', '.join(args)})"
+        )
+
+    def remove_orphan_files(self):
+        return self.run_sql(
+            f"CALL {self._catalog()}.system.remove_orphan_files"
+            f"(table => '{self.table}')"
+        )
+
+    def changes(self, start_snapshot_id: int, end_snapshot_id: int | None = None):
+        """Iceberg changelog scan via the create_changelog_view procedure
+        (reads only the data files the commits between the two snapshots
+        touched), then selects the standard CDC columns.  The `_change_type`
+        vocabulary matches SnapshotStore.changes exactly."""
+        opts = [f"'start-snapshot-id', '{int(start_snapshot_id)}'"]
+        if end_snapshot_id is not None:
+            opts.append(f"'end-snapshot-id', '{int(end_snapshot_id)}'")
+        view = f"_te_changes_{uuid.uuid4().hex[:12]}"
+        self.run_sql(
+            f"CALL {self._catalog()}.system.create_changelog_view("
+            f"table => '{self.table}', options => map({', '.join(opts)}), "
+            f"changelog_view => '{view}')"
+        )
+        return self.run_sql(f"SELECT * FROM {view}")
 
     # -- op_id replay log ----------------------------------------------------
 
