@@ -1,0 +1,136 @@
+"""Trajectory near-dup: discrete Fréchet kernel vs an independent
+double-loop replay, candidate generation on planted jittered copies, and
+the refine's keep/drop behaviour on hand-built geometries."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from traffic_engine_spark.functions.geodesy import haversine_m
+from traffic_engine_spark.functions.trajectory import discrete_frechet_m
+from traffic_engine_spark.operators import trajectory as T
+
+SF = "/root/testdata/sf0.001"
+
+
+def _frechet_naive(lon_a, lat_a, lon_b, lat_b) -> float:
+    """Independent replay: the textbook O(n*m) row-by-row recurrence
+    (Eiter & Mannila 1994), no vectorisation, no shared code with the
+    anti-diagonal kernel beyond the haversine metric itself."""
+    n, m = len(lon_a), len(lon_b)
+    ca = np.empty((n, m))
+    for i in range(n):
+        for j in range(m):
+            d = float(haversine_m(lon_a[i], lat_a[i], lon_b[j], lat_b[j]))
+            if i == 0 and j == 0:
+                ca[i, j] = d
+            elif i == 0:
+                ca[i, j] = max(ca[0, j - 1], d)
+            elif j == 0:
+                ca[i, j] = max(ca[i - 1, 0], d)
+            else:
+                ca[i, j] = max(
+                    min(ca[i - 1, j], ca[i - 1, j - 1], ca[i, j - 1]), d
+                )
+    return float(ca[n - 1, m - 1])
+
+
+def test_discrete_frechet_matches_naive_replay():
+    rng = np.random.default_rng(4242)
+    # hand cases first: identical polylines, and a pure parallel offset
+    lon = np.array([-122.5, -122.499, -122.498])
+    lat = np.array([37.5, 37.5005, 37.501])
+    assert discrete_frechet_m(lon, lat, lon, lat) == 0.0
+    off = float(haversine_m(-122.5, 37.5, -122.5, 37.5 + 0.001))
+    got = discrete_frechet_m(lon, lat, lon, lat + 0.001)
+    assert got == pytest.approx(off, rel=1e-9)
+    # 30 random pairs, mixed lengths incl. degenerate 1-point traces
+    for _ in range(30):
+        n, m = rng.integers(1, 40, size=2)
+        a_lon = -122.5 + rng.random(n) * 0.01
+        a_lat = 37.5 + rng.random(n) * 0.01
+        b_lon = -122.5 + rng.random(m) * 0.01
+        b_lat = 37.5 + rng.random(m) * 0.01
+        want = _frechet_naive(a_lon, a_lat, b_lon, b_lat)
+        got = discrete_frechet_m(a_lon, a_lat, b_lon, b_lat)
+        assert got == pytest.approx(want, rel=1e-12), (n, m)
+
+
+def test_trace_near_dup_catches_jittered_copies(spark):
+    """Every planted copy pairs with exactly its original at J >= 0.5 and
+    survives the Fréchet refine with a metre-scale distance; no natural
+    pair clears the candidate threshold (densest natural overlap ~0.125)."""
+    from traffic_engine_spark.queries import YARDSTICKS, _traces_with_copies
+
+    pts = _traces_with_copies(spark, SF)
+    planted = {
+        (int(r.trace_id), int(r.trace_id) + 1000000)
+        for r in pts.filter(
+            (F.col("trace_id") < 1000000) & (F.col("trace_id") % 5 == 0)
+        )
+        .select("trace_id")
+        .distinct()
+        .collect()
+    }
+    assert planted  # sf0.001 has 15 users -> 3 copies
+    cands = YARDSTICKS["trace_near_dup"][0](spark, SF).collect()
+    got = {(int(r.trace_a), int(r.trace_b)) for r in cands}
+    assert got == planted
+    assert all(r.jaccard >= 0.5 for r in cands)
+    refined = YARDSTICKS["trace_frechet_refine"][0](spark, SF).collect()
+    assert {(int(r.trace_a), int(r.trace_b)) for r in refined} == planted
+    # 0.00002 deg of jitter on both axes is ~3.1 m at 37.5N
+    assert all(0.0 < r.frechet_m < 5.0 for r in refined)
+
+
+def test_frechet_refine_keep_and_drop(spark):
+    """Hand geometries through the Spark refine: a detoured trace shares
+    every cell with the straight one (candidate), but its Fréchet distance
+    is the detour depth — kept when the threshold exceeds it, dropped
+    when not.  The distance value itself must equal the naive replay."""
+    rows = []
+    base_lat, base_lon = 37.5, -122.5
+    for i in range(11):
+        rows.append((1, i, base_lat, base_lon + i * 0.0001))
+        # same start/end, bulges 0.001 deg (~111 m) north mid-route
+        bulge = 0.001 if 3 <= i <= 7 else 0.0
+        rows.append((2, i, base_lat + bulge, base_lon + i * 0.0001))
+    pts = spark.createDataFrame(
+        rows, "trace_id long, ts_ms long, lat double, lon double"
+    )
+    cands = T.trace_near_dup_candidates(pts, zoom=16, min_jaccard=0.5)
+    assert [(r.trace_a, r.trace_b) for r in cands.collect()] == [(1, 2)]
+    a = [r for r in rows if r[0] == 1]
+    b = [r for r in rows if r[0] == 2]
+    want = _frechet_naive(
+        np.array([r[3] for r in a]), np.array([r[2] for r in a]),
+        np.array([r[3] for r in b]), np.array([r[2] for r in b]),
+    )
+    assert 100.0 < want < 125.0  # the bulge, in metres
+    kept = T.trace_frechet_refine(pts, cands, max_frechet_m=200.0).collect()
+    assert len(kept) == 1
+    assert kept[0].frechet_m == pytest.approx(round(want, 6), abs=1e-6)
+    dropped = T.trace_frechet_refine(pts, cands, max_frechet_m=50.0).collect()
+    assert dropped == []
+
+
+def test_trace_near_dup_partitioning_invariant(spark):
+    """Same values at shuffle.partitions 8 vs 3 — the engine-wide
+    invariance contract (tests/test_invariance.py) for the new family."""
+    from traffic_engine_spark.queries import YARDSTICKS
+
+    cur = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        a = sorted(
+            tuple(r)
+            for r in YARDSTICKS["trace_frechet_refine"][0](spark, SF).collect()
+        )
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        b = sorted(
+            tuple(r)
+            for r in YARDSTICKS["trace_frechet_refine"][0](spark, SF).collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", cur)
+    assert a == b and a

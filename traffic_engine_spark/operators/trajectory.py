@@ -1,0 +1,214 @@
+"""Trajectory (GPS-trace) near-duplicate detection.
+
+A planet-scale corpus of geotagged traces is full of near-identical
+trips: the same commute recorded daily, re-uploaded rides, replayed GPS
+logs with jitter.  Deduping them at TRACE granularity is the trajectory
+twin of the document near-dup family (operators/dedup.py):
+
+  1. candidate generation — each trace's signature is the SET of slippy
+     cells it visits (functions/cells.py, the engine's one spatial index);
+     an inverted cell index self-joined on cell yields shared-cell counts,
+     and set Jaccard >= threshold keeps the plausible pairs.  This is the
+     MinHash-LSH shape specialised to trajectories: the cell grid IS the
+     shingle space, so no hashing is needed and the candidate stage stays
+     a pure JVM join (exactly SQL-expressible -> DuckDB-gated yardstick).
+  2. refine — discrete Fréchet distance (functions/trajectory.py) on the
+     candidate pairs only, one vectorised Arrow batch pass; pairs within
+     ``max_frechet_m`` are confirmed near-duplicates.
+
+Scale shape: the inverted index shuffles once on cell; cells visited by
+more than ``max_traces_per_cell`` traces are dropped from the index
+(non-discriminative evidence — the standard LSH hot-bucket guard; at a
+downtown intersection cell EVERY trace overlaps, and k traces in one
+cell would emit k² candidate rows).  Jaccard uses the FULL signature
+sizes, so capping can only under-count shared cells — candidates are
+conservatively missed, never wrongly admitted.  The refine joins each
+pair to two bounded per-trace coordinate arrays (the per-vehicle state
+assumption the reference's matcher also makes, Vehicle.java:105) and
+computes Fréchet inside mapInPandas — no further exchange after the two
+equi-joins.
+
+Reference tie-in: opentraffic/traffic-engine keeps off-map traces for
+later analysis (data/OffMapTrace.java) but ships no trace-similarity
+operator; this is the scale tool for deduping that corpus.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.cells import cell_of_col
+from ..functions.trajectory import discrete_frechet_m
+
+
+def trace_cells(
+    points: DataFrame,
+    zoom: int = 16,
+    id_col: str = "trace_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Distinct (trace, visited cell) signature rows — one narrow
+    projection plus a distinct (the one shuffle of the candidate stage)."""
+    return points.select(
+        F.col(id_col),
+        cell_of_col(F.col(lat_col), F.col(lon_col), zoom).alias("cell"),
+    ).distinct()
+
+
+def trace_near_dup_candidates(
+    points: DataFrame,
+    zoom: int = 16,
+    min_jaccard: float = 0.5,
+    max_traces_per_cell: int | None = None,
+    id_col: str = "trace_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Candidate near-duplicate trace pairs by cell-signature Jaccard.
+
+    Output: (trace_a, trace_b, shared_cells, cells_a, cells_b, jaccard)
+    with trace_a < trace_b, jaccard >= min_jaccard.  Exact set semantics
+    when ``max_traces_per_cell`` is None; with the hot-cell cap, shared
+    counts (and therefore Jaccard) can only decrease — conservative."""
+    cells = trace_cells(points, zoom, id_col, lat_col, lon_col)
+    sizes = cells.groupBy(id_col).agg(F.count("*").alias("n_cells"))
+    idx = cells
+    if max_traces_per_cell is not None:
+        ok = (
+            cells.groupBy("cell")
+            .agg(F.count("*").alias("n_traces"))
+            .filter(F.col("n_traces") <= max_traces_per_cell)
+            .select("cell")
+        )
+        idx = idx.join(ok, "cell", "left_semi")
+    a = idx.select(F.col(id_col).alias("trace_a"), "cell")
+    b = idx.select(F.col(id_col).alias("trace_b"), "cell")
+    shared = (
+        a.join(b, "cell")
+        .filter(F.col("trace_a") < F.col("trace_b"))
+        .groupBy("trace_a", "trace_b")
+        .agg(F.count("*").alias("shared_cells"))
+    )
+    sa = sizes.select(
+        F.col(id_col).alias("trace_a"), F.col("n_cells").alias("cells_a")
+    )
+    sb = sizes.select(
+        F.col(id_col).alias("trace_b"), F.col("n_cells").alias("cells_b")
+    )
+    return (
+        shared.join(sa, "trace_a")
+        .join(sb, "trace_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("shared_cells")
+                / (F.col("cells_a") + F.col("cells_b") - F.col("shared_cells")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select(
+            "trace_a", "trace_b", "shared_cells", "cells_a", "cells_b", "jaccard"
+        )
+    )
+
+
+def _trace_geoms(
+    points: DataFrame, id_col: str, ts_col: str, lat_col: str, lon_col: str
+) -> DataFrame:
+    """Per-trace coordinate arrays in visit order: sort_array over
+    collected (ts, seq-tiebreak, lat, lon) structs, then unzipped —
+    deterministic for duplicate timestamps (ties break on lat, lon)."""
+    pts = F.sort_array(
+        F.collect_list(
+            F.struct(
+                F.col(ts_col).alias("t"),
+                F.col(lat_col).alias("la"),
+                F.col(lon_col).alias("lo"),
+            )
+        )
+    )
+    return points.groupBy(id_col).agg(
+        pts.alias("_pts")
+    ).select(
+        F.col(id_col),
+        F.col("_pts.la").alias("lats"),
+        F.col("_pts.lo").alias("lons"),
+    )
+
+
+def trace_frechet_refine(
+    points: DataFrame,
+    candidates: DataFrame,
+    max_frechet_m: float,
+    id_col: str = "trace_id",
+    ts_col: str = "ts_ms",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Confirm candidate pairs by discrete Fréchet distance <= threshold.
+
+    Two equi-joins attach both polylines to each pair row, then one
+    mapInPandas pass runs the anti-diagonal DP kernel per row — each row
+    is self-contained, so there is no further shuffle and the refine
+    parallelises to however many candidate partitions exist."""
+    geoms = _trace_geoms(points, id_col, ts_col, lat_col, lon_col)
+    ga = geoms.select(
+        F.col(id_col).alias("trace_a"),
+        F.col("lats").alias("lats_a"),
+        F.col("lons").alias("lons_a"),
+    )
+    gb = geoms.select(
+        F.col(id_col).alias("trace_b"),
+        F.col("lats").alias("lats_b"),
+        F.col("lons").alias("lons_b"),
+    )
+    paired = candidates.join(ga, "trace_a").join(gb, "trace_b")
+    keep = [c for c in candidates.columns]
+    out_schema = ", ".join(
+        f"{name} {dtype}" for name, dtype in candidates.dtypes
+    ) + ", frechet_m double"
+
+    def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            dists = np.empty(len(pdf), dtype=np.float64)
+            for i in range(len(pdf)):
+                dists[i] = discrete_frechet_m(
+                    np.asarray(pdf["lons_a"].iloc[i]),
+                    np.asarray(pdf["lats_a"].iloc[i]),
+                    np.asarray(pdf["lons_b"].iloc[i]),
+                    np.asarray(pdf["lats_b"].iloc[i]),
+                )
+            out = pdf[keep].copy()
+            out["frechet_m"] = np.round(dists, 6)
+            yield out[out["frechet_m"] <= max_frechet_m]
+
+    return paired.mapInPandas(refine, schema=out_schema)
+
+
+def trace_near_dup_pairs(
+    points: DataFrame,
+    zoom: int = 16,
+    min_jaccard: float = 0.5,
+    max_frechet_m: float = 100.0,
+    max_traces_per_cell: int | None = None,
+    id_col: str = "trace_id",
+    ts_col: str = "ts_ms",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Full trajectory near-dup: cell-Jaccard candidates -> Fréchet refine."""
+    cands = trace_near_dup_candidates(
+        points, zoom, min_jaccard, max_traces_per_cell, id_col, lat_col, lon_col
+    )
+    return trace_frechet_refine(
+        points, cands, max_frechet_m, id_col, ts_col, lat_col, lon_col
+    )

@@ -38,7 +38,7 @@ from .functions.text import (
     stopword_ratio,
     ws_tokens,
 )
-from .operators import ann, dedup, relational, spatial
+from .operators import ann, dedup, relational, spatial, trajectory
 
 # ---------------------------------------------------------------------------
 # loaders + shared derivations
@@ -1761,6 +1761,85 @@ def tiles_for_z_quirk(spark, sf_dir):
         "x", "y",
         (F.col("x") * 7).alias("strict_x"), (F.col("y") * 7).alias("strict_y"),
         (F.col("x") * 128).alias("fixed_x"), (F.col("y") * 128).alias("fixed_y"),
+    )
+
+
+def _traces_with_copies(spark, sf_dir):
+    """Trace table (trace_id = user_id) plus deterministic jittered copies
+    of every fifth trace (trace_id + 1000000, +0.00002° on both axes) —
+    the perturbed-copy oracle pattern (cf. multimodal_phash_pairs): the
+    copies ARE the planted near-duplicates both engines must find."""
+    pts = _points(spark, sf_dir).select(
+        F.col("user_id").alias("trace_id"), "ts_ms", "lat", "lon"
+    )
+    copies = pts.filter(F.col("trace_id") % 5 == 0).select(
+        (F.col("trace_id") + 1000000).alias("trace_id"),
+        "ts_ms",
+        (F.col("lat") + 0.00002).alias("lat"),
+        (F.col("lon") + 0.00002).alias("lon"),
+    )
+    return pts.unionByName(copies)
+
+
+_TRACES_CTE = f"""
+{PTS_CTE},
+traces AS (
+  SELECT user_id AS trace_id, ts_ms, lat, lon FROM pts
+  UNION ALL
+  SELECT user_id + 1000000 AS trace_id, ts_ms,
+         lat + 0.00002 AS lat, lon + 0.00002 AS lon
+  FROM pts WHERE user_id % 5 = 0
+)
+"""
+
+
+@yq(
+    "trace_near_dup",
+    f"""
+WITH {_TRACES_CTE},
+cells AS (
+  SELECT DISTINCT trace_id,
+         ({16 << 58} | ({_sql_tile_x('lon', 16)} << 29) | {_sql_tile_y('lat', 16)}) AS cell
+  FROM traces
+),
+sizes AS (SELECT trace_id, count(*) AS n FROM cells GROUP BY trace_id),
+shared AS (
+  SELECT a.trace_id AS trace_a, b.trace_id AS trace_b, count(*) AS shared_cells
+  FROM cells a JOIN cells b ON a.cell = b.cell AND a.trace_id < b.trace_id
+  GROUP BY 1, 2
+)
+SELECT trace_a, trace_b, shared_cells, sa.n AS cells_a, sb.n AS cells_b,
+       round(shared_cells::DOUBLE / (sa.n + sb.n - shared_cells), 6) AS jaccard
+FROM shared
+JOIN sizes sa ON trace_a = sa.trace_id
+JOIN sizes sb ON trace_b = sb.trace_id
+WHERE round(shared_cells::DOUBLE / (sa.n + sb.n - shared_cells), 6) >= 0.5
+""",
+)
+def trace_near_dup(spark, sf_dir):
+    """Trajectory near-dup CANDIDATES: cell-signature set Jaccard over an
+    inverted z16 cell index (operators/trajectory.py) — the MinHash-LSH
+    shape specialised to traces, where the slippy grid is the shingle
+    space.  Planted jittered copies must pair with their originals at
+    J >= 0.5; the densest natural pair in the star schema sits at ~0.125,
+    so the threshold separates cleanly.  DuckDB-exact."""
+    return trajectory.trace_near_dup_candidates(
+        _traces_with_copies(spark, sf_dir), zoom=16, min_jaccard=0.5
+    )
+
+
+@yq("trace_frechet_refine", None)
+def trace_frechet_refine_q(spark, sf_dir):
+    """Trajectory near-dup REFINE: discrete Fréchet distance (anti-diagonal
+    vectorised DP, functions/trajectory.py) over the candidate pairs only —
+    not SQL-expressible, so rows-only in check_oracle; the exact gate is
+    tests/test_trajectory.py's independent double-loop replay, and the
+    candidate stage it consumes is the DuckDB-exact trace_near_dup above."""
+    return trajectory.trace_near_dup_pairs(
+        _traces_with_copies(spark, sf_dir),
+        zoom=16,
+        min_jaccard=0.5,
+        max_frechet_m=50.0,
     )
 
 
