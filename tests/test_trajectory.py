@@ -134,3 +134,106 @@ def test_trace_near_dup_partitioning_invariant(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", cur)
     assert a == b and a
+
+
+def _stops_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "trace_id long, ts_ms long, lat double, lon double, seq long"
+    )
+
+
+def test_detect_stops_hand_fixture(spark):
+    """Gaps-and-islands semantics pinned by hand: a dwell run, a moving
+    gap, a second dwell, and a duplicate-timestamp link (dt=0 -> undefined
+    speed) that must BREAK a stop, exactly as PLANS.md specifies."""
+    step = 0.000009  # ~1 m per 10 s -> 0.1 m/s, well under threshold
+    jump = 0.01      # ~1.1 km per 10 s -> ~111 m/s, far over
+    rows = [
+        # trace 1: 4-point dwell, jump, 3-point dwell
+        (1, 0,      37.5,                -122.5, 0),
+        (1, 10_000, 37.5 + step,         -122.5, 1),
+        (1, 20_000, 37.5 + 2 * step,     -122.5, 2),
+        (1, 30_000, 37.5 + 3 * step,     -122.5, 3),
+        (1, 40_000, 37.5 + jump,         -122.5, 4),
+        (1, 50_000, 37.5 + jump + step,  -122.5, 5),
+        (1, 60_000, 37.5 + jump + 2 * step, -122.5, 6),
+        # trace 2: slow link, DUPLICATE ts link (undefined speed), slow link
+        (2, 0,      37.6,            -122.5, 0),
+        (2, 10_000, 37.6 + step,     -122.5, 1),
+        (2, 10_000, 37.6 + 2 * step, -122.5, 2),
+        (2, 20_000, 37.6 + 3 * step, -122.5, 3),
+    ]
+    out = T.detect_stops(
+        _stops_df(spark, rows), max_speed_ms=1.5, min_points=2, tiebreak="seq"
+    )
+    got = {
+        (r.trace_id, r.start_ms): (r.end_ms, r.n_points, r.duration_ms)
+        for r in out.collect()
+    }
+    assert got == {
+        (1, 0): (30_000, 4, 30_000),        # first dwell: anchor 0 -> 30 s
+        (1, 40_000): (60_000, 3, 20_000),   # second dwell after the jump
+        (2, 0): (10_000, 2, 10_000),        # slow link up to the dup-ts row
+        (2, 10_000): (20_000, 2, 10_000),   # dup-ts link broke the run
+    }
+    # centroids are endpoint means in integer microdegrees
+    row = [r for r in out.collect() if r.trace_id == 1 and r.start_ms == 0][0]
+    want_lat = round(
+        sum(round((37.5 + k * step) * 1e6) for k in (1, 2, 3)) / 3 / 1e6, 6
+    )
+    assert row.centroid_lat == want_lat and row.centroid_lon == -122.5
+    # min_points filter drops the 2-point stops
+    out3 = T.detect_stops(
+        _stops_df(spark, rows), max_speed_ms=1.5, min_points=3, tiebreak="seq"
+    )
+    assert {(r.trace_id, r.start_ms) for r in out3.collect()} == {(1, 0), (1, 40_000)}
+
+
+def test_detect_stops_partitioning_invariant(spark):
+    """Same stops (values, not just counts) at shuffle.partitions 8 vs 3
+    and under an adversarial pre-repartition — the island ids derive from
+    the per-trace sort, never from physical layout."""
+    import random
+
+    rng = random.Random(77)
+    rows = []
+    for t in range(12):
+        lat, ts = 37.5 + t * 0.01, 0
+        for s in range(40):
+            ts += rng.choice([5_000, 10_000])
+            lat += rng.choice([0.000005, 0.000009, 0.002])
+            rows.append((t, ts, lat, -122.5, s))
+    df = _stops_df(spark, rows)
+    base = T.detect_stops(df, max_speed_ms=1.5, tiebreak="seq")
+    want = sorted(map(tuple, base.collect()))
+    assert len(want) > 5
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        got = sorted(
+            map(tuple, T.detect_stops(df.repartition(7), max_speed_ms=1.5, tiebreak="seq").collect())
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert got == want
+
+
+def test_detect_stops_single_exchange_plan(spark):
+    """The whole operator — both window passes AND the island aggregate —
+    rides ONE exchange: hash partitioning on trace co-locates every
+    (trace, island) group, so Spark plans no second shuffle, and the two
+    same-ordered windows share one in-partition sort."""
+    import re
+
+    df = spark.createDataFrame(
+        [(1, 0, 37.5, -122.5, 0)],
+        "trace_id long, ts_ms long, lat double, lon double, seq long",
+    )
+    plan = (
+        T.detect_stops(df, tiebreak="seq")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert len(re.findall(r"Exchange", plan)) == 1
+    assert len(re.findall(r"\bSort\b", plan)) == 1

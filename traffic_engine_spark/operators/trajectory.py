@@ -39,7 +39,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.cells import cell_of_col
@@ -211,4 +211,109 @@ def trace_near_dup_pairs(
     )
     return trace_frechet_refine(
         points, cands, max_frechet_m, id_col, ts_col, lat_col, lon_col
+    )
+
+
+def detect_stops(
+    points: DataFrame,
+    max_speed_ms: float = 1.5,
+    min_duration_ms: int = 0,
+    min_points: int = 2,
+    id_col: str = "trace_id",
+    ts_col: str = "ts_ms",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Stay-point (stop) detection — gaps-and-islands over per-trace links.
+
+    A *stop* is a maximal run of consecutive links whose haversine speed
+    is <= ``max_speed_ms`` (the stationary dwell the reference's matcher
+    filters OUT per-link, SegmentMatcher's speed sanity — here the dwell
+    itself is the product: depot dwell, signal wait, congestion stand).
+
+    Semantics (mirrored literally by the DuckDB oracle):
+      * link speed = haversine_m(prev, cur) / (dt/1000) with the sphere
+        radius of functions/geodesy (6371008.8 m); a link with dt <= 0
+        (duplicate or regressing timestamp) has UNDEFINED speed and never
+        extends a stop;
+      * a stop's rows are the link ENDPOINTS; its start is the anchor
+        point's timestamp (min of the run's lag-ts), so duration covers
+        anchor -> last endpoint and n_points counts the anchor too;
+      * the centroid is the integer-microdegree mean of the run's
+        endpoints (floor(x*1e6+0.5) per row, summed as BIGINT) — the same
+        order-independent-exactness trick as pair_speed's total_mm: float
+        sums depend on partition order, integer sums do not.
+
+    Scale shape (PLANS.md "detect_stops"): both window passes (lag +
+    running sum) share ONE (trace, time) partitioning, so Spark plans a
+    single exchange and two in-partition sorts, then one hash aggregate.
+    The haversine is a pure JVM column expression inside whole-stage
+    codegen — no Python anywhere.
+    """
+    order = [F.col(ts_col)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(id_col).orderBy(*order)
+    run = Window.partitionBy(id_col).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    lat, lon, ts = F.col(lat_col), F.col(lon_col), F.col(ts_col)
+    p_lat, p_lon, p_ts = F.col("_p_lat"), F.col("_p_lon"), F.col("_p_ts")
+    dist_m = (
+        F.lit(2.0 * 6371008.8)
+        * F.asin(
+            F.sqrt(
+                F.least(
+                    F.lit(1.0),
+                    F.pow(F.sin(F.radians(lat - p_lat) / 2), 2)
+                    + F.cos(F.radians(p_lat))
+                    * F.cos(F.radians(lat))
+                    * F.pow(F.sin(F.radians(lon - p_lon) / 2), 2),
+                )
+            )
+        )
+    )
+    dt_ms = ts - p_ts
+    slow = (
+        p_ts.isNotNull()
+        & (dt_ms > 0)
+        & (dist_m / (dt_ms / F.lit(1000.0)) <= F.lit(float(max_speed_ms)))
+    )
+    linked = (
+        points.withColumn("_p_ts", F.lag(ts_col).over(w))
+        .withColumn("_p_lat", F.lag(lat_col).over(w))
+        .withColumn("_p_lon", F.lag(lon_col).over(w))
+        .withColumn("_slow", slow)
+        # island id: running count of non-slow rows — all rows of one slow
+        # run share the id of the non-slow row that opened it.
+        .withColumn(
+            "_island",
+            F.sum(F.when(F.col("_slow"), F.lit(0)).otherwise(F.lit(1))).over(run),
+        )
+    )
+    udeg = lambda c: F.floor(c * 1e6 + F.lit(0.5)).cast("long")  # noqa: E731
+    stops = (
+        linked.filter(F.col("_slow"))
+        .groupBy(F.col(id_col).alias("trace_id"), F.col("_island").alias("island"))
+        .agg(
+            F.min("_p_ts").alias("start_ms"),
+            F.max(ts_col).alias("end_ms"),
+            F.count(F.lit(1)).alias("n_links"),
+            F.sum(udeg(lat)).alias("_lat_sum"),
+            F.sum(udeg(lon)).alias("_lon_sum"),
+        )
+        .withColumn("duration_ms", F.col("end_ms") - F.col("start_ms"))
+        .withColumn("n_points", (F.col("n_links") + 1).cast("long"))
+        .withColumn(
+            "centroid_lat", F.round(F.col("_lat_sum") / F.col("n_links") / 1e6, 6)
+        )
+        .withColumn(
+            "centroid_lon", F.round(F.col("_lon_sum") / F.col("n_links") / 1e6, 6)
+        )
+    )
+    return stops.filter(
+        (F.col("duration_ms") >= F.lit(int(min_duration_ms)))
+        & (F.col("n_points") >= F.lit(int(min_points)))
+    ).select(
+        "trace_id", "island", "start_ms", "end_ms", "duration_ms",
+        "n_points", "centroid_lat", "centroid_lon",
     )

@@ -1828,6 +1828,55 @@ def trace_near_dup(spark, sf_dir):
     )
 
 
+@yq(
+    "detect_stops",
+    f"""
+WITH {PTS_CTE},
+linked AS (
+  SELECT user_id AS trace_id, ts_ms, lat, lon, event_id,
+         lag(ts_ms) OVER w AS p_ts, lag(lat) OVER w AS p_lat, lag(lon) OVER w AS p_lon
+  FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
+flagged AS (
+  SELECT *, (p_ts IS NOT NULL AND ts_ms - p_ts > 0 AND
+      (2.0 * 6371008.8 * asin(sqrt(least(1.0, pow(sin(radians(lat - p_lat)/2),2)
+        + cos(radians(p_lat))*cos(radians(lat))*pow(sin(radians(lon - p_lon)/2),2))))
+       / ((ts_ms - p_ts)/1000.0)) <= 0.21) AS slow
+  FROM linked),
+islands AS (
+  SELECT *, CAST(sum(CASE WHEN slow THEN 0 ELSE 1 END)
+       OVER (PARTITION BY trace_id ORDER BY ts_ms, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island
+  FROM flagged),
+stops AS (
+  SELECT trace_id, island, min(p_ts) AS start_ms, max(ts_ms) AS end_ms,
+         count(*) AS n_links,
+         sum(CAST(floor(lat*1e6 + 0.5) AS BIGINT)) AS lat_sum,
+         sum(CAST(floor(lon*1e6 + 0.5) AS BIGINT)) AS lon_sum
+  FROM islands WHERE slow GROUP BY 1, 2)
+SELECT trace_id, island, start_ms, end_ms, end_ms - start_ms AS duration_ms,
+       CAST(n_links + 1 AS BIGINT) AS n_points,
+       round(lat_sum / n_links / 1e6, 6) AS centroid_lat,
+       round(lon_sum / n_links / 1e6, 6) AS centroid_lon
+FROM stops WHERE end_ms - start_ms >= 0 AND n_links + 1 >= 3
+""",
+)
+def detect_stops_q(spark, sf_dir):
+    """Stay-point detection (operators/trajectory.detect_stops): maximal
+    runs of consecutive sub-0.21 m/s haversine links, gaps-and-islands on
+    one (trace, time) partitioning — one exchange, two in-partition sorts,
+    one hash agg (PLANS.md "detect_stops").  Centroids via integer-
+    microdegree sums so the values are partition-order independent.
+    DuckDB-exact at the synthetic walk's natural dwell mix."""
+    return trajectory.detect_stops(
+        _points(spark, sf_dir),
+        max_speed_ms=0.21,
+        min_duration_ms=0,
+        min_points=3,
+        id_col="user_id",
+        tiebreak="event_id",
+    )
+
+
 @yq("trace_frechet_refine", None)
 def trace_frechet_refine_q(spark, sf_dir):
     """Trajectory near-dup REFINE: discrete Fréchet distance (anti-diagonal
