@@ -237,3 +237,48 @@ def test_detect_stops_single_exchange_plan(spark):
     )
     assert len(re.findall(r"Exchange", plan)) == 1
     assert len(re.findall(r"\bSort\b", plan)) == 1
+
+
+def test_trips_and_od_matrix_hand_fixture(spark):
+    """Two dwells separated by a fast hop make exactly one trip whose
+    depart/arrive bound the hop; OD cells come from the stop centroids."""
+    step, jump = 0.000009, 0.01
+    rows = []
+    for t in (1, 2):  # two identical traces -> OD count 2
+        base = 37.5 + (t - 1) * 0.0  # same geometry
+        rows += [
+            (t, 0,      base,                 -122.5, 0),
+            (t, 10_000, base + step,          -122.5, 1),
+            (t, 20_000, base + 2 * step,      -122.5, 2),
+            (t, 40_000, base + jump,          -122.5, 3),
+            (t, 50_000, base + jump + step,   -122.5, 4),
+            (t, 60_000, base + jump + 2 * step, -122.5, 5),
+        ]
+    df = _stops_df(spark, rows)
+    stops = T.detect_stops(df, max_speed_ms=1.5, min_points=3, tiebreak="seq")
+    trips = T.trips_from_stops(stops, zoom=13).collect()
+    assert len(trips) == 2
+    for r in trips:
+        assert (r.depart_ms, r.arrive_ms, r.travel_ms) == (20_000, 40_000, 20_000)
+        assert r.o_lat < r.d_lat and r.o_cell != r.d_cell
+    od = T.od_matrix(T.trips_from_stops(stops, zoom=13)).collect()
+    assert len(od) == 1
+    r = od[0]
+    assert (r.n_trips, r.total_travel_ms, r.min_travel_ms, r.max_travel_ms,
+            r.avg_travel_ms) == (2, 40_000, 20_000, 20_000, 20000.0)
+
+
+def test_od_pipeline_two_exchanges(spark):
+    """Raw points -> stops -> trips -> OD matrix plans exactly TWO
+    exchanges: the trips lead-window rides the stop aggregate's trace
+    partitioning (subset-satisfies), so only the final OD-pair aggregate
+    adds a shuffle."""
+    import re
+
+    df = spark.createDataFrame(
+        [(1, 0, 37.5, -122.5, 0)],
+        "trace_id long, ts_ms long, lat double, lon double, seq long",
+    )
+    out = T.od_matrix(T.trips_from_stops(T.detect_stops(df, tiebreak="seq")))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange", plan)) == 2

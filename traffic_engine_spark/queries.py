@@ -1828,10 +1828,8 @@ def trace_near_dup(spark, sf_dir):
     )
 
 
-@yq(
-    "detect_stops",
-    f"""
-WITH {PTS_CTE},
+_STOPS_CTES = f"""
+{PTS_CTE},
 linked AS (
   SELECT user_id AS trace_id, ts_ms, lat, lon, event_id,
          lag(ts_ms) OVER w AS p_ts, lag(lat) OVER w AS p_lat, lag(lon) OVER w AS p_lon
@@ -1847,17 +1845,26 @@ islands AS (
        OVER (PARTITION BY trace_id ORDER BY ts_ms, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island
   FROM flagged),
-stops AS (
+stops_raw AS (
   SELECT trace_id, island, min(p_ts) AS start_ms, max(ts_ms) AS end_ms,
          count(*) AS n_links,
          sum(CAST(floor(lat*1e6 + 0.5) AS BIGINT)) AS lat_sum,
          sum(CAST(floor(lon*1e6 + 0.5) AS BIGINT)) AS lon_sum
-  FROM islands WHERE slow GROUP BY 1, 2)
-SELECT trace_id, island, start_ms, end_ms, end_ms - start_ms AS duration_ms,
-       CAST(n_links + 1 AS BIGINT) AS n_points,
-       round(lat_sum / n_links / 1e6, 6) AS centroid_lat,
-       round(lon_sum / n_links / 1e6, 6) AS centroid_lon
-FROM stops WHERE end_ms - start_ms >= 0 AND n_links + 1 >= 3
+  FROM islands WHERE slow GROUP BY 1, 2),
+stops AS (
+  SELECT trace_id, island, start_ms, end_ms, end_ms - start_ms AS duration_ms,
+         CAST(n_links + 1 AS BIGINT) AS n_points,
+         round(lat_sum / n_links / 1e6, 6) AS centroid_lat,
+         round(lon_sum / n_links / 1e6, 6) AS centroid_lon
+  FROM stops_raw WHERE end_ms - start_ms >= 0 AND n_links + 1 >= 3)
+"""
+
+
+@yq(
+    "detect_stops",
+    f"""
+WITH {_STOPS_CTES}
+SELECT * FROM stops
 """,
 )
 def detect_stops_q(spark, sf_dir):
@@ -1875,6 +1882,45 @@ def detect_stops_q(spark, sf_dir):
         id_col="user_id",
         tiebreak="event_id",
     )
+
+
+@yq(
+    "od_matrix",
+    f"""
+WITH {_STOPS_CTES},
+trips AS (
+  SELECT trace_id, end_ms AS depart_ms,
+         lead(start_ms) OVER w AS arrive_ms,
+         lead(start_ms) OVER w - end_ms AS travel_ms,
+         centroid_lat AS o_lat, centroid_lon AS o_lon,
+         lead(centroid_lat) OVER w AS d_lat, lead(centroid_lon) OVER w AS d_lon
+  FROM stops WINDOW w AS (PARTITION BY trace_id ORDER BY start_ms, island)),
+t AS (SELECT * FROM trips WHERE arrive_ms IS NOT NULL)
+SELECT ({13 << 58} | ({_sql_tile_x('o_lon', 13)} << 29) | {_sql_tile_y('o_lat', 13)}) AS o_cell,
+       ({13 << 58} | ({_sql_tile_x('d_lon', 13)} << 29) | {_sql_tile_y('d_lat', 13)}) AS d_cell,
+       count(*) AS n_trips,
+       CAST(sum(travel_ms) AS BIGINT) AS total_travel_ms,
+       min(travel_ms) AS min_travel_ms,
+       max(travel_ms) AS max_travel_ms,
+       round(CAST(sum(travel_ms) AS BIGINT) / count(*), 3) AS avg_travel_ms
+FROM t GROUP BY 1, 2
+""",
+)
+def od_matrix_q(spark, sf_dir):
+    """Origin-destination flow matrix: detect_stops -> trips_from_stops
+    (consecutive-dwell trip segmentation, one lead window) -> one hash agg
+    on the z13 OD cell pair.  Travel stats are integer-ms sums, so every
+    value is partition-order independent; the 6-dp stop centroids make
+    cell assignment bit-identical across engines.  DuckDB-exact."""
+    stops = trajectory.detect_stops(
+        _points(spark, sf_dir),
+        max_speed_ms=0.21,
+        min_duration_ms=0,
+        min_points=3,
+        id_col="user_id",
+        tiebreak="event_id",
+    )
+    return trajectory.od_matrix(trajectory.trips_from_stops(stops, zoom=13))
 
 
 @yq("trace_frechet_refine", None)
