@@ -282,3 +282,46 @@ def test_od_pipeline_two_exchanges(spark):
     out = T.od_matrix(T.trips_from_stops(T.detect_stops(df, tiebreak="seq")))
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert len(re.findall(r"Exchange", plan)) == 2
+
+
+def test_geofence_transitions_hand_fixture(spark):
+    """Enter/exit/switch/start kinds pinned by hand on two square fences;
+    a point stream that never changes zone emits only its start row."""
+    from traffic_engine_spark.operators.spatial import (
+        geofence_transitions,
+        pip_assign_convex,
+    )
+
+    polys = [
+        {"poly_id": 0, "coords": [(-122.5, 37.5), (-122.4, 37.5), (-122.4, 37.6), (-122.5, 37.6)]},
+        {"poly_id": 1, "coords": [(-122.4, 37.5), (-122.3, 37.5), (-122.3, 37.6), (-122.4, 37.6)]},
+    ]
+    rows = [
+        # trace 1: outside -> fence0 -> fence1 -> outside
+        (1, 0,  37.55, -122.60, 0),
+        (1, 10, 37.55, -122.45, 1),
+        (1, 20, 37.55, -122.35, 2),
+        (1, 30, 37.55, -122.20, 3),
+        (1, 40, 37.55, -122.21, 4),   # still outside: no row
+        # trace 2: born inside fence0, never leaves
+        (2, 0,  37.55, -122.45, 0),
+        (2, 10, 37.551, -122.451, 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "trace_id long, ts_ms long, lat double, lon double, seq long"
+    )
+    out = geofence_transitions(
+        pip_assign_convex(df, polys), tiebreak="seq"
+    ).collect()
+    got = {(r.trace_id, r.ts_ms): (r.from_zone, r.to_zone, r.kind) for r in out}
+    assert got == {
+        (1, 0): (None, -1, "start"),
+        (1, 10): (-1, 0, "enter"),
+        (1, 20): (0, 1, "switch"),
+        (1, 30): (1, -1, "exit"),
+        (2, 0): (None, 0, "start"),
+    }
+    skip_first = geofence_transitions(
+        pip_assign_convex(df, polys), tiebreak="seq", include_first=False
+    ).collect()
+    assert {(r.trace_id, r.ts_ms) for r in skip_first} == {(1, 10), (1, 20), (1, 30)}

@@ -290,3 +290,57 @@ def pip_assign_winding(
             yield pdf
 
     return points.mapInPandas(run, schema=out_schema)
+
+
+def geofence_transitions(
+    points: DataFrame,
+    zone_col: str = "poly_id",
+    id_col: str = "trace_id",
+    ts_col: str = "ts_ms",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    tiebreak: str | None = None,
+    include_first: bool = True,
+) -> DataFrame:
+    """Geofence ENTER/EXIT event extraction: one lag() per trace over an
+    already-zoned point stream (compose with pip_assign_convex /
+    pip_assign_winding — the zoning strategy stays orthogonal).
+
+    Emits one row per zone CHANGE: (trace, ts, from_zone, to_zone, kind,
+    lat, lon) where kind is 'start' (first observation, from_zone NULL,
+    kept unless include_first=False), 'enter' (outside -> zone), 'exit'
+    (zone -> outside), or 'switch' (zone -> different zone); -1 is the
+    outside-every-fence sentinel pip_assign_* produce.
+
+    Scale shape: ONE exchange (the per-trace sort any sequential signal
+    needs), one in-partition sort, pure codegen comparisons — the same
+    shape as detect_stops, and at 10^12 points the transition stream is
+    typically 2-4 orders of magnitude smaller than the input, so this is
+    the cheap front half of any downstream dwell/billing/alert pipeline."""
+    order = [F.col(ts_col)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(id_col).orderBy(*order)
+    zone = F.col(zone_col)
+    prev = F.lag(zone_col).over(w)
+    out_zone = F.lit(-1)
+    kind = (
+        F.when(prev.isNull(), F.lit("start"))
+        .when((prev == out_zone) & (zone != out_zone), F.lit("enter"))
+        .when((prev != out_zone) & (zone == out_zone), F.lit("exit"))
+        .otherwise(F.lit("switch"))
+    )
+    t = (
+        points.withColumn("_from", prev)
+        .filter(F.col("_from").isNull() | (F.col("_from") != zone))
+        .withColumn("kind", kind)
+    )
+    if not include_first:
+        t = t.filter(F.col("_from").isNotNull())
+    return t.select(
+        F.col(id_col).alias("trace_id"),
+        F.col(ts_col).alias("ts_ms"),
+        F.col("_from").alias("from_zone"),
+        zone.alias("to_zone"),
+        "kind",
+        F.col(lat_col).alias("lat"),
+        F.col(lon_col).alias("lon"),
+    )

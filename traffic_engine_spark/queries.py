@@ -1885,6 +1885,36 @@ def detect_stops_q(spark, sf_dir):
 
 
 @yq(
+    "geofence_transitions",
+    f"""
+WITH {PTS_CTE},
+zoned AS (
+  SELECT user_id AS trace_id, ts_ms, event_id, lat, lon, {_sql_pip()} AS poly_id
+  FROM pts),
+lagged AS (
+  SELECT trace_id, ts_ms, lat, lon, poly_id,
+         lag(poly_id) OVER (PARTITION BY trace_id ORDER BY ts_ms, event_id) AS from_zone
+  FROM zoned)
+SELECT trace_id, ts_ms, from_zone, poly_id AS to_zone,
+       CASE WHEN from_zone IS NULL THEN 'start'
+            WHEN from_zone = -1 AND poly_id != -1 THEN 'enter'
+            WHEN from_zone != -1 AND poly_id = -1 THEN 'exit'
+            ELSE 'switch' END AS kind,
+       lat, lon
+FROM lagged WHERE from_zone IS NULL OR from_zone != poly_id
+""",
+)
+def geofence_transitions_q(spark, sf_dir):
+    """Geofence enter/exit extraction (operators/spatial.geofence_transitions)
+    composed with the convex-PIP zoner over the shared polygon literals —
+    one lag window per trace, pure codegen, one exchange.  DuckDB-exact."""
+    zoned = spatial.pip_assign_convex(_points(spark, sf_dir), _POLYGONS)
+    return spatial.geofence_transitions(
+        zoned, id_col="user_id", tiebreak="event_id"
+    )
+
+
+@yq(
     "od_matrix",
     f"""
 WITH {_STOPS_CTES},
