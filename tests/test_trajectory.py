@@ -325,3 +325,45 @@ def test_geofence_transitions_hand_fixture(spark):
         pip_assign_convex(df, polys), tiebreak="seq", include_first=False
     ).collect()
     assert {(r.trace_id, r.ts_ms) for r in skip_first} == {(1, 10), (1, 20), (1, 30)}
+
+
+def test_resample_traces_hand_fixture(spark):
+    """Grid ticks, interpolation values, dup-ts links and exact-multiple
+    boundaries pinned by hand at interval 10."""
+    rows = [
+        (1, 5,  10.0, 100.0, 0),
+        (1, 25, 30.0, 120.0, 1),   # ticks 10, 20 inside (5, 25]
+        (1, 25, 99.0, 999.0, 2),   # dup ts: no ticks, never duplicates
+        (1, 30, 40.0, 130.0, 3),   # tick 30 == cur_ts exactly (closed above)
+        (2, 10, 1.0, 1.0, 0),
+        (2, 20, 2.0, 2.0, 1),      # tick 20 only: (10, 20] excludes 10
+    ]
+    df = _stops_df(spark, rows)
+    out = T.resample_traces(df, interval_ms=10, tiebreak="seq")
+    got = {(r.trace_id, r.tick_ms): (r.lat, r.lon) for r in out.collect()}
+    assert got == {
+        (1, 10): (10.0 + 20.0 * (5 / 20), 100.0 + 20.0 * (5 / 20)),
+        (1, 20): (10.0 + 20.0 * (15 / 20), 100.0 + 20.0 * (15 / 20)),
+        (1, 30): (40.0, 130.0),  # frac = 1 at the closing endpoint
+        (2, 20): (2.0, 2.0),
+    }
+    # every tick is a grid multiple; count matches the span partition
+    assert all(t % 10 == 0 for (_, t) in got)
+
+
+def test_resample_traces_no_shuffle_after_window(spark):
+    """One exchange total: the Generate (sequence explode) is narrow."""
+    import re
+
+    df = spark.createDataFrame(
+        [(1, 0, 37.5, -122.5, 0)],
+        "trace_id long, ts_ms long, lat double, lon double, seq long",
+    )
+    plan = (
+        T.resample_traces(df, interval_ms=10, tiebreak="seq")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert len(re.findall(r"Exchange", plan)) == 1
+    assert "Generate" in plan

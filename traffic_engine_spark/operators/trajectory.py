@@ -373,3 +373,65 @@ def od_matrix(trips: DataFrame) -> DataFrame:
             F.round(F.col("total_travel_ms") / F.col("n_trips"), 3),
         )
     )
+
+
+def resample_traces(
+    points: DataFrame,
+    interval_ms: int,
+    id_col: str = "trace_id",
+    ts_col: str = "ts_ms",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Fixed-interval trace resampling by linear interpolation — the
+    standard normalisation before ML over trajectories (uniform time grid,
+    gap-free windows) and the batch twin of sensor downsampling.
+
+    For every link (prev, cur) of a trace, emits one row per grid tick
+    ``t`` (a multiple of ``interval_ms``) with prev_ts < t <= cur_ts,
+    positions interpolated linearly in time:
+
+        lat(t) = prev_lat + (cur_lat - prev_lat) * (t - prev_ts) / dt
+
+    Links with dt <= 0 (duplicate/regressing timestamps) contain no grid
+    tick by construction — the open lower bound makes the tick set of
+    consecutive links a partition, so no tick is ever emitted twice.
+
+    Scale shape: one lag window (the per-trace exchange+sort), one
+    sequence()+explode Generate — fan-out is dt/interval per link, known
+    in advance, and NOTHING shuffles after the window: at 100 TB the
+    output lands partitioned by trace, ready for windowed feature
+    extraction without another exchange.  Pure JVM end-to-end; the
+    interpolation arithmetic is identical IEEE double ops in any engine,
+    so results are bit-reproducible (DuckDB-gated)."""
+    iv = F.lit(int(interval_ms)).cast("long")
+    order = [F.col(ts_col)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(id_col).orderBy(*order)
+    lagged = (
+        points.withColumn("_p_ts", F.lag(ts_col).over(w))
+        .withColumn("_p_lat", F.lag(lat_col).over(w))
+        .withColumn("_p_lon", F.lag(lon_col).over(w))
+        .filter(F.col("_p_ts").isNotNull() & (F.col(ts_col) > F.col("_p_ts")))
+    )
+    start = (F.col("_p_ts") - F.col("_p_ts") % iv + iv).cast("long")
+    ticks = F.when(
+        start <= F.col(ts_col), F.sequence(start, F.col(ts_col), iv)
+    ).otherwise(F.array().cast("array<long>"))
+    frac = (F.col("tick_ms") - F.col("_p_ts")) / (F.col(ts_col) - F.col("_p_ts"))
+    return (
+        lagged.select(
+            F.col(id_col).alias("trace_id"),
+            F.col(ts_col),
+            "_p_ts", "_p_lat", "_p_lon",
+            F.col(lat_col).alias("_lat"),
+            F.col(lon_col).alias("_lon"),
+            F.explode(ticks).alias("tick_ms"),
+        )
+        .select(
+            "trace_id",
+            "tick_ms",
+            (F.col("_p_lat") + (F.col("_lat") - F.col("_p_lat")) * frac).alias("lat"),
+            (F.col("_p_lon") + (F.col("_lon") - F.col("_p_lon")) * frac).alias("lon"),
+        )
+    )

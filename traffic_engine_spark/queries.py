@@ -1915,6 +1915,41 @@ def geofence_transitions_q(spark, sf_dir):
 
 
 @yq(
+    "resample_traces",
+    f"""
+WITH {PTS_CTE},
+lagged AS (
+  SELECT user_id AS trace_id, ts_ms, lat, lon,
+         lag(ts_ms) OVER w AS p_ts, lag(lat) OVER w AS p_lat, lag(lon) OVER w AS p_lon
+  FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
+links AS (
+  SELECT * FROM lagged WHERE p_ts IS NOT NULL AND ts_ms > p_ts),
+ticks AS (
+  SELECT trace_id, ts_ms, p_ts, p_lat, p_lon, lat, lon,
+         unnest(generate_series(p_ts - p_ts % 21600000 + 21600000, ts_ms, 21600000)) AS tick_ms
+  FROM links)
+SELECT trace_id, tick_ms,
+       p_lat + (lat - p_lat) * ((tick_ms - p_ts) / (ts_ms - p_ts)) AS lat,
+       p_lon + (lon - p_lon) * ((tick_ms - p_ts) / (ts_ms - p_ts)) AS lon
+FROM ticks
+""",
+)
+def resample_traces_q(spark, sf_dir):
+    """Fixed-interval (6 h) linear-interpolation resampling
+    (operators/trajectory.resample_traces): one lag window + one
+    sequence/explode Generate, zero shuffles after the per-trace sort.
+    The open-below/closed-above tick assignment partitions the grid
+    across links, so no tick duplicates.  DuckDB-exact (identical IEEE
+    double interpolation)."""
+    return trajectory.resample_traces(
+        _points(spark, sf_dir),
+        interval_ms=21_600_000,
+        id_col="user_id",
+        tiebreak="event_id",
+    )
+
+
+@yq(
     "od_matrix",
     f"""
 WITH {_STOPS_CTES},
