@@ -367,3 +367,59 @@ def test_resample_traces_no_shuffle_after_window(spark):
     )
     assert len(re.findall(r"Exchange", plan)) == 1
     assert "Generate" in plan
+
+
+def test_trace_features_hand_fixture_and_plan(spark):
+    """Feature values verified against an independent numpy replay on a
+    small random set; plan pinned to ONE exchange and ZERO joins."""
+    import math
+    import re
+    import random
+
+    from traffic_engine_spark.functions.cells import cell_pack_np, tile_x_np, tile_y_np
+
+    def cell_of(la, lo, z):
+        return int(cell_pack_np(
+            tile_x_np(np.array([lo]), z), tile_y_np(np.array([la]), z), z)[0])
+
+    rng = random.Random(99)
+    rows = []
+    for t in range(6):
+        for s in range(rng.randint(1, 15)):
+            rows.append(
+                (t, s * 1000,
+                 37.5 + rng.randint(0, 40) * 0.001,
+                 -122.5 + rng.randint(0, 40) * 0.001, s)
+            )
+    df = _stops_df(spark, rows)
+    out = T.trace_features(df, zoom=15, tiebreak="seq")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange", plan)) == 1
+    assert "Join" not in plan
+
+    got = {r.trace_id: r for r in out.collect()}
+    for t in range(6):
+        pts = sorted([r for r in rows if r[0] == t], key=lambda r: (r[1], r[4]))
+        lats = [p[2] for p in pts]; lons = [p[3] for p in pts]
+        n = len(pts)
+        total = 0
+        for i in range(1, n):
+            total += math.floor(
+                float(haversine_m(lons[i - 1], lats[i - 1], lons[i], lats[i])) * 1000 + 0.5
+            )
+        c_lat = sum(math.floor(x * 1e6 + 0.5) for x in lats) / n / 1e6
+        c_lon = sum(math.floor(x * 1e6 + 0.5) for x in lons) / n / 1e6
+        dev2 = sum(
+            math.floor(float(haversine_m(c_lon, c_lat, lons[i], lats[i])) ** 2 * 1000 + 0.5)
+            for i in range(n)
+        )
+        cells = {}
+        for la, lo in zip(lats, lons):
+            cells[cell_of(la, lo, 15)] = cells.get(cell_of(la, lo, 15), 0) + 1
+        clogc = sum(math.floor(c * math.log2(c) * 1e9 + 0.5) for c in cells.values())
+        r = got[t]
+        assert r.n_points == n and r.total_mm == total
+        assert r.span_ms == pts[-1][1] - pts[0][1]
+        assert r.n_cells == len(cells)
+        assert r.rog_m == round(math.sqrt(dev2 / n / 1e3), 6)
+        assert r.cell_entropy == round(math.log2(n) - clogc / 1e9 / n, 6)

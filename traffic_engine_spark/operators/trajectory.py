@@ -435,3 +435,112 @@ def resample_traces(
             (F.col("_p_lon") + (F.col("_lon") - F.col("_p_lon")) * frac).alias("lon"),
         )
     )
+
+
+def trace_features(
+    points: DataFrame,
+    zoom: int = 15,
+    id_col: str = "trace_id",
+    ts_col: str = "ts_ms",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Per-trace mobility feature vector — the standard descriptors a
+    trajectory-ML pipeline extracts before training (Gonzalez et al.,
+    Nature 2008 for radius of gyration; Song et al., Science 2010 for
+    visit entropy):
+
+      n_points, span_ms        — size and duration
+      total_mm                 — path length, summed in integer mm
+      rog_m                    — radius of gyration around the trace
+                                 centroid (haversine metric)
+      n_cells, cell_entropy    — distinct zoom-``zoom`` cells visited and
+                                 the Shannon entropy (bits) of the visit
+                                 distribution
+
+    Every float reduction is made summation-order independent by reducing
+    in scaled integers (mm for distance, 1e-3 m² for squared deviation,
+    1e-9-scaled c*log2(c) terms for entropy via
+    H = log2(n) - sum(c*log2 c)/n), so the result is bit-stable under any
+    partitioning — and therefore DuckDB-gatable.
+
+    Scale shape: ONE exchange on trace carries everything — the ordered
+    lag window, the partition-total centroid windows, the per-(trace,
+    cell) count/first-marker windows and the final per-trace aggregate
+    all subset-satisfy hash(trace); there is no join at all.  No Python,
+    no broadcast, no skew beyond the longest single trace (the same
+    per-vehicle bound the reference's matcher assumes)."""
+    order = [F.col(ts_col)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(id_col).orderBy(*order)
+    wp = Window.partitionBy(id_col)
+    lat, lon, ts = F.col(lat_col), F.col(lon_col), F.col(ts_col)
+    udeg = lambda c: F.floor(c * 1e6 + F.lit(0.5)).cast("long")  # noqa: E731
+
+    def hav_m(lat1, lon1, lat2, lon2):
+        return F.lit(2.0 * 6371008.8) * F.asin(
+            F.sqrt(
+                F.least(
+                    F.lit(1.0),
+                    F.pow(F.sin(F.radians(lat2 - lat1) / 2), 2)
+                    + F.cos(F.radians(lat1))
+                    * F.cos(F.radians(lat2))
+                    * F.pow(F.sin(F.radians(lon2 - lon1) / 2), 2),
+                )
+            )
+        )
+
+    # cell-visit stats via windows over the SAME trace partitioning —
+    # Window's ClusteredDistribution(trace, cell) is subset-satisfied by
+    # hash(trace), so they add one in-partition sort and NO exchange.  (A
+    # groupBy(trace, cell) branch instead gets column-pruned by Catalyst
+    # back to the scan and plans two more shuffles + a join.)
+    wc = Window.partitionBy(id_col, "_cell")
+    wc_ord = wc.orderBy(*order)
+    base = (
+        points.withColumn("_cell", cell_of_col(F.col(lat_col), F.col(lon_col), zoom))
+        .withColumn("_p_lat", F.lag(lat_col).over(w))
+        .withColumn("_p_lon", F.lag(lon_col).over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(wp))
+        .withColumn("_c_lat", F.sum(udeg(lat)).over(wp) / F.col("_n") / 1e6)
+        .withColumn("_c_lon", F.sum(udeg(lon)).over(wp) / F.col("_n") / 1e6)
+        .withColumn("_c", F.count(F.lit(1)).over(wc))
+        .withColumn("_first_in_cell", F.row_number().over(wc_ord) == 1)
+    )
+    link_mm = F.when(
+        F.col("_p_lat").isNotNull(),
+        F.floor(hav_m(F.col("_p_lat"), F.col("_p_lon"), lat, lon) * 1000.0 + F.lit(0.5)).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    dev2_mm = F.floor(
+        F.pow(hav_m(F.col("_c_lat"), F.col("_c_lon"), lat, lon), 2) * 1000.0 + F.lit(0.5)
+    ).cast("long")
+    clogc = F.when(
+        F.col("_first_in_cell"),
+        F.floor(F.col("_c") * F.log2(F.col("_c")) * 1e9 + F.lit(0.5)).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    per_trace = base.groupBy(F.col(id_col).alias("trace_id")).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        (F.max(ts) - F.min(ts)).alias("span_ms"),
+        F.sum(link_mm).alias("total_mm"),
+        F.sum(dev2_mm).alias("_dev2_sum"),
+        F.sum(F.when(F.col("_first_in_cell"), 1).otherwise(0)).cast("long").alias("n_cells"),
+        F.sum(clogc).alias("_clogc"),
+    )
+    return (
+        per_trace
+        .withColumn(
+            "rog_m",
+            F.round(F.sqrt(F.col("_dev2_sum") / F.col("n_points") / 1e3), 6),
+        )
+        .withColumn(
+            "cell_entropy",
+            F.round(
+                F.log2(F.col("n_points")) - F.col("_clogc") / 1e9 / F.col("n_points"),
+                6,
+            ),
+        )
+        .select(
+            "trace_id", "n_points", "span_ms", "total_mm",
+            "rog_m", "n_cells", "cell_entropy",
+        )
+    )

@@ -1950,6 +1950,58 @@ def resample_traces_q(spark, sf_dir):
 
 
 @yq(
+    "trace_features",
+    f"""
+WITH {PTS_CTE},
+base AS (
+  SELECT user_id AS trace_id, ts_ms, lat, lon, event_id,
+         ({15 << 58} | ({_sql_tile_x('lon', 15)} << 29) | {_sql_tile_y('lat', 15)}) AS cell,
+         lag(lat) OVER w AS p_lat, lag(lon) OVER w AS p_lon,
+         count(*) OVER wp AS n,
+         sum(CAST(floor(lat*1e6 + 0.5) AS BIGINT)) OVER wp AS lat_sum,
+         sum(CAST(floor(lon*1e6 + 0.5) AS BIGINT)) OVER wp AS lon_sum
+  FROM pts
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id),
+         wp AS (PARTITION BY user_id)),
+marked AS (
+  SELECT *,
+         lat_sum / n / 1e6 AS c_lat, lon_sum / n / 1e6 AS c_lon,
+         count(*) OVER wc AS c,
+         row_number() OVER (PARTITION BY trace_id, cell ORDER BY ts_ms, event_id) = 1 AS first_in_cell
+  FROM base WINDOW wc AS (PARTITION BY trace_id, cell)),
+agg AS (
+  SELECT trace_id, count(*) AS n_points, max(ts_ms) - min(ts_ms) AS span_ms,
+         CAST(sum(CASE WHEN p_lat IS NOT NULL THEN CAST(floor(
+           2.0 * 6371008.8 * asin(sqrt(least(1.0, pow(sin(radians(lat - p_lat)/2),2)
+             + cos(radians(p_lat))*cos(radians(lat))*pow(sin(radians(lon - p_lon)/2),2))))
+           * 1000.0 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS total_mm,
+         CAST(sum(CAST(floor(pow(
+           2.0 * 6371008.8 * asin(sqrt(least(1.0, pow(sin(radians(lat - c_lat)/2),2)
+             + cos(radians(c_lat))*cos(radians(lat))*pow(sin(radians(lon - c_lon)/2),2)))), 2)
+           * 1000.0 + 0.5) AS BIGINT)) AS BIGINT) AS dev2_sum,
+         CAST(sum(CASE WHEN first_in_cell THEN 1 ELSE 0 END) AS BIGINT) AS n_cells,
+         CAST(sum(CASE WHEN first_in_cell THEN CAST(floor(c * log2(c) * 1e9 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS clogc
+  FROM marked GROUP BY 1)
+SELECT trace_id, n_points, span_ms, total_mm,
+       round(sqrt(dev2_sum / n_points / 1e3), 6) AS rog_m,
+       n_cells,
+       round(log2(n_points) - clogc / 1e9 / n_points, 6) AS cell_entropy
+FROM agg
+""",
+)
+def trace_features_q(spark, sf_dir):
+    """Per-trace mobility feature vectors (operators/trajectory.
+    trace_features): path length, span, radius of gyration, distinct-cell
+    count and visit entropy — every float reduction done in scaled
+    integers so values are partition-order independent, whole thing on
+    ONE exchange (no join; the cell windows subset-satisfy hash(trace)).
+    DuckDB-exact."""
+    return trajectory.trace_features(
+        _points(spark, sf_dir), zoom=15, id_col="user_id", tiebreak="event_id"
+    )
+
+
+@yq(
     "od_matrix",
     f"""
 WITH {_STOPS_CTES},
