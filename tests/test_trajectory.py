@@ -423,3 +423,32 @@ def test_trace_features_hand_fixture_and_plan(spark):
         assert r.n_cells == len(cells)
         assert r.rog_m == round(math.sqrt(dev2 / n / 1e3), 6)
         assert r.cell_entropy == round(math.log2(n) - clogc / 1e9 / n, 6)
+
+
+def test_colocation_pairs_fixture_and_cap(spark):
+    """Planted co-presence found; bucket boundary straddle missed (the
+    documented fixed-grid approximation); hot-slot cap only removes."""
+    B = 1000
+    rows = [
+        # users 1,2 share (cellX, bucket0) twice -> n_cobuckets 2
+        (1, 0,      37.5, -122.5, 0),
+        (2, 100,    37.5, -122.5, 0),
+        (1, B + 10, 37.5, -122.5, 1),
+        (2, B + 20, 37.5, -122.5, 1),
+        # users 3,4: same cell but adjacent buckets -> no pair
+        (3, B - 1,  37.9, -122.1, 0),
+        (4, B + 1,  37.9, -122.1, 0),
+        # users 5,6,7 pile into one slot -> 3 pairs, or 0 with cap=2
+        (5, 0, 37.7, -122.3, 0),
+        (6, 0, 37.7, -122.3, 0),
+        (7, 0, 37.7, -122.3, 0),
+        # duplicate pings of user 1 in bucket 0 must not inflate the count
+        (1, 50, 37.5, -122.5, 9),
+    ]
+    df = _stops_df(spark, rows)
+    out = T.colocation_pairs(df, zoom=16, bucket_ms=B)
+    got = {(r.trace_a, r.trace_b): r.n_cobuckets for r in out.collect()}
+    assert got == {(1, 2): 2, (5, 6): 1, (5, 7): 1, (6, 7): 1}
+    capped = T.colocation_pairs(df, zoom=16, bucket_ms=B, max_traces_per_bucket=2)
+    got_c = {(r.trace_a, r.trace_b): r.n_cobuckets for r in capped.collect()}
+    assert got_c == {(1, 2): 2}  # the 3-trace slot is dropped, nothing else

@@ -544,3 +544,60 @@ def trace_features(
             "rog_m", "n_cells", "cell_entropy",
         )
     )
+
+
+def colocation_pairs(
+    points: DataFrame,
+    zoom: int = 16,
+    bucket_ms: int = 600_000,
+    min_cobuckets: int = 1,
+    max_traces_per_bucket: int | None = None,
+    id_col: str = "trace_id",
+    ts_col: str = "ts_ms",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Spatiotemporal colocation: pairs of traces observed in the same
+    slippy cell within the same time bucket — the contact-join every
+    mobility/epidemiology pipeline needs, and the time-aware sibling of
+    trace_near_dup_candidates (same inverted-index shape, key extended
+    from cell to (cell, bucket)).
+
+    Each trace contributes at most ONE row per (cell, bucket) — repeated
+    pings inside a bucket are deduped before the join, so
+    ``n_cobuckets`` counts distinct shared (cell, bucket) slots, not ping
+    products.  Colocations that straddle a bucket boundary are missed
+    (standard fixed-grid approximation; halve ``bucket_ms`` or double-
+    count with a shifted second grid if recall matters more than cost).
+
+    Scale shape: distinct -> one self-equi-join on the packed (cell,
+    bucket) key -> hash agg.  ``max_traces_per_bucket`` drops slots hotter
+    than the cap from the index BEFORE the join (a stadium cell at kickoff
+    would otherwise emit k² pair rows); like the near-dup cap it only
+    ever under-reports, never wrongly admits."""
+    slot = points.select(
+        F.col(id_col).alias("_id"),
+        cell_of_col(F.col(lat_col), F.col(lon_col), zoom).alias("_cell"),
+        (F.col(ts_col) - F.col(ts_col) % F.lit(int(bucket_ms))).alias("_bucket"),
+    ).distinct()
+    if max_traces_per_bucket is not None:
+        ok = (
+            slot.groupBy("_cell", "_bucket")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= max_traces_per_bucket)
+            .select("_cell", "_bucket")
+        )
+        slot = slot.join(ok, ["_cell", "_bucket"], "left_semi")
+    a = slot.select(F.col("_id").alias("trace_a"), "_cell", "_bucket")
+    b = slot.select(F.col("_id").alias("trace_b"), "_cell", "_bucket")
+    return (
+        a.join(b, ["_cell", "_bucket"])
+        .filter(F.col("trace_a") < F.col("trace_b"))
+        .groupBy("trace_a", "trace_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_cobuckets"),
+            F.min("_bucket").alias("first_bucket_ms"),
+            F.max("_bucket").alias("last_bucket_ms"),
+        )
+        .filter(F.col("n_cobuckets") >= F.lit(int(min_cobuckets)))
+    )

@@ -2002,6 +2002,40 @@ def trace_features_q(spark, sf_dir):
 
 
 @yq(
+    "colocation_pairs",
+    f"""
+WITH {PTS_CTE},
+slot AS (
+  SELECT DISTINCT user_id AS id,
+         ({14 << 58} | ({_sql_tile_x('lon', 14)} << 29) | {_sql_tile_y('lat', 14)}) AS cell,
+         ts_ms - ts_ms % 3600000 AS bucket
+  FROM pts),
+pairs AS (
+  SELECT a.id AS trace_a, b.id AS trace_b, count(*) AS n_cobuckets,
+         min(a.bucket) AS first_bucket_ms, max(a.bucket) AS last_bucket_ms
+  FROM slot a JOIN slot b
+    ON a.cell = b.cell AND a.bucket = b.bucket AND a.id < b.id
+  GROUP BY 1, 2)
+SELECT trace_a, trace_b, n_cobuckets, first_bucket_ms, last_bucket_ms
+FROM pairs WHERE n_cobuckets >= 3
+""",
+)
+def colocation_pairs_q(spark, sf_dir):
+    """Spatiotemporal colocation (operators/trajectory.colocation_pairs):
+    distinct per-trace (z14 cell, 1 h bucket) slots, one self-equi-join on
+    the packed slot key, hash agg — the contact join, exact (no hot-slot
+    cap here; the cap path only under-reports and is tested separately).
+    DuckDB-exact at all three scales."""
+    return trajectory.colocation_pairs(
+        _points(spark, sf_dir),
+        zoom=14,
+        bucket_ms=3_600_000,
+        min_cobuckets=3,
+        id_col="user_id",
+    )
+
+
+@yq(
     "od_matrix",
     f"""
 WITH {_STOPS_CTES},
