@@ -218,3 +218,72 @@ def test_corrupt_payload_handling(spark, images_pd):
     assert len(ok) == 11 and bad_id not in set(ok.image_id)
     feats = MM.image_features(df, on_error="skip").toPandas()
     assert len(feats) == 11 and bad_id not in set(feats.image_id)
+
+
+def test_render_tiles_fixture_grid_and_plan(spark):
+    """Vector→raster rendering (plans/tiles.render_tiles): a duplicated
+    point renders at 255, a lone point at 255*1//2 = 127, every other
+    pixel stays 0; the executed plan holds exactly TWO exchanges (pixel
+    hash-agg, per-tile applyInPandas) — the binary payload is born on the
+    tile's executor and never re-shuffles."""
+    import re
+
+    from traffic_engine_spark.functions.cells import tile_x_np, tile_y_np
+    from traffic_engine_spark.functions.images import decode_png
+    from traffic_engine_spark.plans import tiles as TI
+
+    lat0, lon0 = 37.7599, -122.1732
+    lat1, lon1 = 37.7601, -122.1735
+    pts = spark.createDataFrame(
+        pd.DataFrame({"lat": [lat0, lat0, lat1], "lon": [lon0, lon0, lon1]})
+    )
+    df = TI.render_tiles(pts, zoom=15)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange", plan)) == 2
+    out = df.toPandas()
+
+    lats, lons = np.array([lat0, lat1]), np.array([lon0, lon1])
+    tx, ty = tile_x_np(lons, 15), tile_y_np(lats, 15)
+    assert tx[0] == tx[1] and ty[0] == ty[1]  # fixture: one tile
+    px = tile_x_np(lons, 23) - 256 * tx
+    py = tile_y_np(lats, 23) - 256 * ty
+    assert (px != px[::-1]).any() or (py != py[::-1]).any()  # distinct pixels
+
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert (row.tile_x, row.tile_y, row.z) == (tx[0], ty[0], 15)
+    assert (row.n_points, row.n_pixels, row.max_count) == (3, 2, 2)
+    grid = decode_png(bytes(row.png))
+    assert grid.shape == (256, 256)
+    assert grid[py[0], px[0]] == 255
+    assert grid[py[1], px[1]] == 127
+    assert int(np.count_nonzero(grid)) == 2
+
+
+def test_render_tiles_matches_independent_replay(spark):
+    """The yardstick query equals the materialized oracle (independent
+    pandas-groupby replay, shared slippy/PNG leaf primitives) exactly —
+    including the PNG payload md5."""
+    import duckdb
+
+    from traffic_engine_spark import queries as Q
+    from traffic_engine_spark.oracle.materialize import ensure_yardstick_oracles
+
+    sqls = ensure_yardstick_oracles()
+    got = (
+        Q.YARDSTICKS["render_tiles"][0](spark, "/root/testdata/sf0.001")
+        .toPandas()
+        .sort_values(["tile_x", "tile_y"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        duckdb.sql(sqls["render_tiles"])
+        .df()
+        .sort_values(["tile_x", "tile_y"])
+        .reset_index(drop=True)
+    )
+    assert len(got) > 1
+    pd.testing.assert_frame_equal(
+        got.astype({c: "int64" for c in got.columns if c != "png_md5"}),
+        exp.astype({c: "int64" for c in exp.columns if c != "png_md5"}),
+    )

@@ -72,6 +72,7 @@ ENTRIES = [
 # pytest, never surfaced through oracle_sql().
 YARDSTICK_ENTRIES = [
     "multimodal_image_features",
+    "render_tiles",
 ]
 
 _CAPTION_RE = re.compile(r"trace=(-?\d+);ts=(-?\d+);lat=([^;]+);lon=([^;]+)")
@@ -100,6 +101,7 @@ def _compute() -> dict[str, pd.DataFrame]:
     from ..functions.images import (
         decode_image,
         encode_image,
+        encode_png,
         extract_caption,
         phash64,
         psnr_db,
@@ -223,6 +225,46 @@ def _compute() -> dict[str, pd.DataFrame]:
     ).astype({c: np.int64 for c in
               ["w", "h", "p_min", "p_max", "phash",
                *(f"hist_{i}" for i in range(8))]})
+
+    # --- render_tiles: independent pandas/numpy replay of the vector→
+    # raster tile renderer (z15, 256 px, count density, integer
+    # count*255//max intensities; engine: plans/tiles.render_tiles).
+    # Aggregation runs through pandas groupby — a different execution
+    # path from the Spark hash agg — while the leaf primitives (slippy
+    # tile math, PNG codec) are the shared bit-parity functions. ---------
+    z, res, shift = 15, 256, 8
+    geos = [_parse_caption(c) for c in images_pd["caption"]]
+    glat = np.array([float(g[2]) for g in geos])
+    glon = np.array([float(g[3]) for g in geos])
+    rtx, rty = tile_x_np(glon, z), tile_y_np(glat, z)
+    rpx = tile_x_np(glon, z + shift) - res * rtx
+    rpy = tile_y_np(glat, z + shift) - res * rty
+    pix = (
+        pd.DataFrame({"tx": rtx, "ty": rty, "px": rpx, "py": rpy})
+        .groupby(["tx", "ty", "px", "py"])
+        .size()
+        .reset_index(name="cnt")
+    )
+    rrows = []
+    for (tx_, ty_), g in pix.groupby(["tx", "ty"]):
+        grid = np.zeros((res, res), dtype=np.uint8)
+        cnt = g["cnt"].to_numpy(np.int64)
+        mc = int(cnt.max())
+        grid[g["py"].to_numpy(np.int64), g["px"].to_numpy(np.int64)] = (
+            cnt * 255 // mc
+        ).astype(np.uint8)
+        png = encode_png(grid)
+        rrows.append(
+            (int(tx_), int(ty_), z, int(cnt.sum()), len(g), mc,
+             len(png), hashlib.md5(png).hexdigest())
+        )
+    out["render_tiles"] = pd.DataFrame(
+        rrows,
+        columns=["tile_x", "tile_y", "z", "n_points", "n_pixels",
+                 "max_count", "png_len", "png_md5"],
+    ).astype({c: np.int64 for c in
+              ["tile_x", "tile_y", "z", "n_points", "n_pixels",
+               "max_count", "png_len"]})
 
     # --- traffic_viterbi_match: the north rule's named HMM kernel --------
     # referee = pyoracle.viterbi_match_oracle (independent cell-index

@@ -92,6 +92,89 @@ def tile_assignments_with_invariants(images: DataFrame) -> DataFrame:
     return assign_tiles(images).join(verify_payloads(images), "image_id")
 
 
+RENDER_SCHEMA = T.StructType(
+    [
+        T.StructField("tile_x", T.LongType(), False),
+        T.StructField("tile_y", T.LongType(), False),
+        T.StructField("z", T.IntegerType(), False),
+        T.StructField("n_points", T.LongType(), False),
+        T.StructField("n_pixels", T.LongType(), False),
+        T.StructField("max_count", T.LongType(), False),
+        T.StructField("png", T.BinaryType(), False),
+    ]
+)
+
+
+def render_tiles(
+    points: DataFrame, zoom: int = Z_AREA, resolution: int = 256
+) -> DataFrame:
+    """Vector→raster rendering: rasterize a point table into per-tile
+    grayscale PNG density maps (the inverse leg of the raster↔vector
+    contract; the slippy-tile twin of a raster tile server's render pass).
+
+    Pixel addressing is EXACT, not a second projection: for the slippy
+    formulas (functions/cells.py) the zoom enters as a final multiply by
+    2^z of one shared double ``v``, and multiplying a double by a power of
+    two is exact — so with ``shift = log2(resolution)``::
+
+        pixel = tile(z + shift) - resolution * tile(z)
+              = floor(resolution * frac(v * 2^z))  ∈  [0, resolution)
+
+    i.e. the pixel index inherits the engine↔oracle↔SQL bit-parity already
+    proven for the tile functions; no clamp and no second trig evaluation.
+
+    Plan shape for 10^12-row inputs: (1) partial+final hash agg on
+    (tile, px, py) — the map side collapses the point set to occupied
+    pixels, bounding the first shuffle at resolution² rows per tile;
+    (2) one applyInPandas per tile fills the uint8 grid and encodes the
+    PNG (functions/images.encode_png, the repo's deterministic codec).
+    Two exchanges total, both over already-reduced data; the binary
+    payload is BORN on the executor that owns the tile and never
+    re-shuffles.  Per-pixel intensity is pure integer math
+    (``count * 255 // max_count``) so the raster bytes are independent of
+    partitioning and row order.
+    """
+    shift = resolution.bit_length() - 1
+    assert resolution == 1 << shift, "resolution must be a power of two"
+    lat, lon = F.col("lat"), F.col("lon")
+    tx, ty = tile_x_col(lon, zoom), tile_y_col(lat, zoom)
+    px = tile_x_col(lon, zoom + shift) - F.lit(resolution) * tx
+    py = tile_y_col(lat, zoom + shift) - F.lit(resolution) * ty
+    n = F.lit(2**zoom).cast("long")
+    pix = (
+        points.where(
+            lat.isNotNull() & lon.isNotNull()
+            & (ty >= 0) & (ty < n) & (tx >= 0) & (tx < n)
+        )
+        .select(tx.alias("tile_x"), ty.alias("tile_y"), px.alias("px"), py.alias("py"))
+        .groupBy("tile_x", "tile_y", "px", "py")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+    def _fill(pdf: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.images import encode_png
+
+        grid = np.zeros((resolution, resolution), dtype=np.uint8)
+        cnt = pdf["cnt"].to_numpy(np.int64)
+        mc = int(cnt.max())
+        grid[pdf["py"].to_numpy(np.int64), pdf["px"].to_numpy(np.int64)] = (
+            cnt * 255 // mc
+        ).astype(np.uint8)
+        return pd.DataFrame(
+            {
+                "tile_x": [int(pdf["tile_x"].iloc[0])],
+                "tile_y": [int(pdf["tile_y"].iloc[0])],
+                "z": [zoom],
+                "n_points": [int(cnt.sum())],
+                "n_pixels": [len(pdf)],
+                "max_count": [mc],
+                "png": [encode_png(grid)],
+            }
+        )
+
+    return pix.groupBy("tile_x", "tile_y").applyInPandas(_fill, RENDER_SCHEMA)
+
+
 def tile_pyramid(
     points: DataFrame,
     min_zoom: int = Z_AREA,

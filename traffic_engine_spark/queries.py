@@ -2297,6 +2297,38 @@ def tile_pyramid(spark, sf_dir):
     )
 
 
+@yq("render_tiles", None)
+def render_tiles_q(spark, sf_dir):
+    """Vector→raster tile rendering (plans/tiles.render_tiles): the image
+    table's geotags rasterized into per-z15-tile 256×256 grayscale density
+    PNGs — exact integer pixel addressing (tile math at z+8 minus the
+    scaled z tile: inherits the proven slippy bit-parity), integer
+    ``count*255//max_count`` intensities, the repo's deterministic PNG
+    codec.  Raw bytes are projected to (png_len, png_md5) for the
+    canonicalizer, like multimodal_resize.  Pytest-only: the driver window
+    is at its 50-entry cap; gated by check_oracle --yardsticks against an
+    independent numpy/pandas replay (oracle/materialize.py) plus
+    tests/test_multimodal.py."""
+    from .plans import tiles as TL
+    from .plans.match import CAPTION_RE
+
+    pts = _pipeline(spark)[0].select(
+        F.regexp_extract("caption", CAPTION_RE, 3).try_cast("double").alias("lat"),
+        F.regexp_extract("caption", CAPTION_RE, 4).try_cast("double").alias("lon"),
+    )
+    r = TL.render_tiles(pts, zoom=15)
+    return r.select(
+        "tile_x",
+        "tile_y",
+        F.col("z").cast("long").alias("z"),
+        "n_points",
+        "n_pixels",
+        "max_count",
+        F.length("png").cast("long").alias("png_len"),
+        F.md5("png").alias("png_md5"),
+    )
+
+
 @yq(
     "set_ops",
     f"""
