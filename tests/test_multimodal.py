@@ -287,3 +287,73 @@ def test_render_tiles_matches_independent_replay(spark):
         got.astype({c: "int64" for c in got.columns if c != "png_md5"}),
         exp.astype({c: "int64" for c in exp.columns if c != "png_md5"}),
     )
+
+
+def test_raster_pyramid_compose_and_conservation(spark):
+    """Overview composition (plans/tiles.raster_pyramid): every parent
+    grid equals the independent replay — each child decoded, 2×2
+    max-pooled, placed at its (x&1, y&1) quadrant; n_points is conserved
+    level to level."""
+    from traffic_engine_spark.functions.images import decode_png
+    from traffic_engine_spark.plans import tiles as TI
+
+    rng = np.random.default_rng(7)
+    pts = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "lat": 37.75 + rng.uniform(0, 0.03, 400),
+                "lon": -122.18 + rng.uniform(0, 0.03, 400),
+            }
+        )
+    )
+    base = TI.render_tiles(pts, zoom=15).toPandas()
+    assert len(base) >= 4  # fixture spans several z15 tiles
+    pyr = TI.raster_pyramid(
+        TI.render_tiles(pts, zoom=15), base_zoom=15, min_zoom=13
+    ).toPandas()
+
+    for pz, child_level in ((14, base), (13, None)):
+        level = pyr[pyr.z == pz]
+        kids = child_level if child_level is not None else pyr[pyr.z == pz + 1]
+        # n_points conservation per level
+        assert level.n_points.sum() == kids.n_points.sum() == 400
+        # exact grid replay from the children
+        for row in level.itertuples(index=False):
+            expect = np.zeros((256, 256), dtype=np.uint8)
+            mine = kids[
+                (kids.tile_x // 2 == row.tile_x) & (kids.tile_y // 2 == row.tile_y)
+            ]
+            assert len(mine) >= 1
+            for c in mine.itertuples(index=False):
+                cg = decode_png(bytes(c.png))
+                pooled = cg.reshape(128, 2, 128, 2).max(axis=(1, 3))
+                qx, qy = int(c.tile_x) & 1, int(c.tile_y) & 1
+                expect[qy * 128:(qy + 1) * 128, qx * 128:(qx + 1) * 128] = pooled
+            got = decode_png(bytes(row.png))
+            assert np.array_equal(got, expect)
+            assert row.n_pixels == int(np.count_nonzero(expect))
+            assert row.max_count == mine.max_count.max()
+
+
+def test_raster_pyramid_matches_independent_replay(spark):
+    """The yardstick query equals the materialized oracle (independent
+    dict-of-grids numpy replay) exactly, PNG md5 included."""
+    import duckdb
+
+    from traffic_engine_spark import queries as Q
+    from traffic_engine_spark.oracle.materialize import ensure_yardstick_oracles
+
+    sqls = ensure_yardstick_oracles()
+    keys = ["z", "tile_x", "tile_y"]
+    got = (
+        Q.YARDSTICKS["raster_pyramid"][0](spark, "/root/testdata/sf0.001")
+        .toPandas()
+        .sort_values(keys)
+        .reset_index(drop=True)
+    )
+    exp = duckdb.sql(sqls["raster_pyramid"]).df().sort_values(keys).reset_index(drop=True)
+    assert set(got.z) == {13, 14}
+    pd.testing.assert_frame_equal(
+        got.astype({c: "int64" for c in got.columns if c != "png_md5"}),
+        exp.astype({c: "int64" for c in exp.columns if c != "png_md5"}),
+    )

@@ -73,6 +73,7 @@ ENTRIES = [
 YARDSTICK_ENTRIES = [
     "multimodal_image_features",
     "render_tiles",
+    "raster_pyramid",
 ]
 
 _CAPTION_RE = re.compile(r"trace=(-?\d+);ts=(-?\d+);lat=([^;]+);lon=([^;]+)")
@@ -246,6 +247,7 @@ def _compute() -> dict[str, pd.DataFrame]:
         .reset_index(name="cnt")
     )
     rrows = []
+    base_grids: dict = {}
     for (tx_, ty_), g in pix.groupby(["tx", "ty"]):
         grid = np.zeros((res, res), dtype=np.uint8)
         cnt = g["cnt"].to_numpy(np.int64)
@@ -254,12 +256,45 @@ def _compute() -> dict[str, pd.DataFrame]:
             cnt * 255 // mc
         ).astype(np.uint8)
         png = encode_png(grid)
+        base_grids[(int(tx_), int(ty_))] = (grid, int(cnt.sum()), mc)
         rrows.append(
             (int(tx_), int(ty_), z, int(cnt.sum()), len(g), mc,
              len(png), hashlib.md5(png).hexdigest())
         )
     out["render_tiles"] = pd.DataFrame(
         rrows,
+        columns=["tile_x", "tile_y", "z", "n_points", "n_pixels",
+                 "max_count", "png_len", "png_md5"],
+    ).astype({c: np.int64 for c in
+              ["tile_x", "tile_y", "z", "n_points", "n_pixels",
+               "max_count", "png_len"]})
+
+    # --- raster_pyramid: overview levels z14/z13 composed from the z15
+    # grids — 2×2 max-pool each child to half resolution, place at its
+    # (x&1, y&1) quadrant (engine: plans/tiles.raster_pyramid). ----------
+    prows = []
+    grids = base_grids
+    for pz in (14, 13):
+        parents: dict = {}
+        for (cx, cy), (cg, npts, mc) in grids.items():
+            key = (cx >> 1, cy >> 1)
+            pg, pn, pm = parents.get(
+                key, (np.zeros((res, res), dtype=np.uint8), 0, 0)
+            )
+            pooled = cg.reshape(res // 2, 2, res // 2, 2).max(axis=(1, 3))
+            qx, qy = cx & 1, cy & 1
+            pg[qy * (res // 2):(qy + 1) * (res // 2),
+               qx * (res // 2):(qx + 1) * (res // 2)] = pooled
+            parents[key] = (pg, pn + npts, max(pm, mc))
+        for (tx_, ty_), (pg, pn, pm) in sorted(parents.items()):
+            png = encode_png(pg)
+            prows.append(
+                (tx_, ty_, pz, pn, int(np.count_nonzero(pg)), pm,
+                 len(png), hashlib.md5(png).hexdigest())
+            )
+        grids = parents  # next level pools these composites
+    out["raster_pyramid"] = pd.DataFrame(
+        prows,
         columns=["tile_x", "tile_y", "z", "n_points", "n_pixels",
                  "max_count", "png_len", "png_md5"],
     ).astype({c: np.int64 for c in

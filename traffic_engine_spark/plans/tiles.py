@@ -175,6 +175,81 @@ def render_tiles(
     return pix.groupBy("tile_x", "tile_y").applyInPandas(_fill, RENDER_SCHEMA)
 
 
+def raster_pyramid(
+    tiles: DataFrame,
+    base_zoom: int,
+    min_zoom: int,
+    resolution: int = 256,
+    persist_levels: bool = True,
+) -> DataFrame:
+    """Raster overview pyramid (the gdaladdo / map-server overview build):
+    from rendered tiles at ``base_zoom`` (render_tiles schema), produce
+    every ancestor level down to ``min_zoom`` by composing each parent
+    from its ≤4 children — each child grid is 2×2 MAX-pooled to half
+    resolution and placed at its quadrant offset (slippy child parity
+    ``(x&1, y&1)`` is the quadrant).  Max-pooling on uint8 is pure
+    integer, so every level's bytes stay partition- and row-order
+    independent.
+
+    Plan shape: one applyInPandas per level, each grouped on the parent
+    coordinate (a shiftright of the child key).  That is ``base_zoom −
+    min_zoom`` exchanges, but over a geometrically SHRINKING relation —
+    level i holds ≤ |tiles|/4^i rows of fixed-size payloads — so at any
+    scale the total shuffled volume is bounded by 4/3 of the leaf level.
+    The alternative (re-rendering every level from raw points) rescans
+    the 10^12-row input once per level; the pyramid never touches it.
+
+    ``n_points``/``max_count`` aggregate from the children (sum / max);
+    ``n_pixels`` is recomputed from the composed parent grid.
+
+    Each intermediate level is persisted (``persist_levels``, default on):
+    level z−k is the INPUT of level z−k−1, and without pinning it the lazy
+    union would re-execute the whole upstream chain — including the leaf
+    render over the raw points — once per level.  The pinned relations are
+    small by construction (≤ |tiles|/4^k fixed-size rows).
+    """
+    assert min_zoom < base_zoom, (min_zoom, base_zoom)
+    half = resolution // 2
+
+    def _compose(zoom: int):
+        def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            from ..functions.images import decode_png, encode_png
+
+            grid = np.zeros((resolution, resolution), dtype=np.uint8)
+            for r in pdf.itertuples(index=False):
+                child = decode_png(bytes(r.png))
+                pooled = child.reshape(half, 2, half, 2).max(axis=(1, 3))
+                qx, qy = int(r.tile_x) & 1, int(r.tile_y) & 1
+                grid[qy * half:(qy + 1) * half, qx * half:(qx + 1) * half] = pooled
+            return pd.DataFrame(
+                {
+                    "tile_x": [int(pdf["tile_x"].iloc[0]) >> 1],
+                    "tile_y": [int(pdf["tile_y"].iloc[0]) >> 1],
+                    "z": [zoom],
+                    "n_points": [int(pdf["n_points"].sum())],
+                    "n_pixels": [int(np.count_nonzero(grid))],
+                    "max_count": [int(pdf["max_count"].max())],
+                    "png": [encode_png(grid)],
+                }
+            )
+
+        return fn
+
+    levels = []
+    cur = tiles
+    for zc in range(base_zoom - 1, min_zoom - 1, -1):
+        cur = cur.groupBy(
+            F.shiftright("tile_x", 1), F.shiftright("tile_y", 1)
+        ).applyInPandas(_compose(zc), RENDER_SCHEMA)
+        if persist_levels and zc > min_zoom:
+            cur = cur.persist()
+        levels.append(cur)
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out
+
+
 def tile_pyramid(
     points: DataFrame,
     min_zoom: int = Z_AREA,

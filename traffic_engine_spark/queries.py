@@ -2329,6 +2329,36 @@ def render_tiles_q(spark, sf_dir):
     )
 
 
+@yq("raster_pyramid", None)
+def raster_pyramid_q(spark, sf_dir):
+    """Raster overview pyramid (plans/tiles.raster_pyramid): the z15
+    density tiles composed up to z14/z13 — each parent from its ≤4
+    children, 2×2 integer max-pool per child placed at its (x&1, y&1)
+    quadrant.  One applyInPandas per level over a geometrically shrinking
+    relation; intermediate levels persisted so the leaf render runs once.
+    Pytest-only: the driver window is at its 50-entry cap; gated by
+    check_oracle --yardsticks against an independent numpy replay
+    (oracle/materialize.py) plus tests/test_multimodal.py."""
+    from .plans import tiles as TL
+    from .plans.match import CAPTION_RE
+
+    pts = _pipeline(spark)[0].select(
+        F.regexp_extract("caption", CAPTION_RE, 3).try_cast("double").alias("lat"),
+        F.regexp_extract("caption", CAPTION_RE, 4).try_cast("double").alias("lon"),
+    )
+    pyr = TL.raster_pyramid(TL.render_tiles(pts, zoom=15), base_zoom=15, min_zoom=13)
+    return pyr.select(
+        "tile_x",
+        "tile_y",
+        F.col("z").cast("long").alias("z"),
+        "n_points",
+        "n_pixels",
+        "max_count",
+        F.length("png").cast("long").alias("png_len"),
+        F.md5("png").alias("png_md5"),
+    )
+
+
 @yq(
     "set_ops",
     f"""
