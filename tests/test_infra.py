@@ -2016,6 +2016,57 @@ def test_compact_table_cluster_disjoint_ranges(spark, tmp_path):
         assert lo1 <= hi1 < lo2, "output files must own disjoint key ranges"
 
 
+def test_read_bbox_skips_files_and_matches_full_scan(spark, tmp_path):
+    """Scan-side payoff of the clustered rewrite: read_bbox plans from
+    footer stats only, PROVABLY reads a strict subset of the files, and
+    its result is row-identical to the brute full-scan bbox filter."""
+    from traffic_engine_spark.sources.maintenance import (
+        bbox_morton_intervals,
+        compact_table,
+        read_bbox,
+    )
+
+    frag, pdf = _write_fragmented(spark, tmp_path)
+    out = str(tmp_path / "clustered_rb")
+    compact_table(
+        spark, frag, out, target_file_mb=0.25, cluster=("lat", "lon"),
+        keep_cluster_key=True,
+    )
+    box = (45.10, 45.15, -122.70, -122.65)
+    df, rep = read_bbox(spark, out, *box, cover_zoom=12)
+    got = (
+        df.drop("_morton_cluster_key")
+        .toPandas()
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+    exp = (
+        pdf[
+            (pdf.lat >= box[0]) & (pdf.lat <= box[1])
+            & (pdf.lon >= box[2]) & (pdf.lon <= box[3])
+        ]
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp) > 50
+    pd.testing.assert_frame_equal(got[list(exp.columns)], exp)
+    # the point of the layout: a selective bbox must NOT open every file
+    assert 0 < rep["files_read"] < rep["files_total"]
+
+    # interval cover invariants: sorted, disjoint, each a whole quad range
+    iv = bbox_morton_intervals(*box, cover_zoom=12)
+    assert all(a <= b for a, b in iv)
+    assert all(b < a2 for (_, b), (a2, _) in zip(iv, iv[1:]))
+    span = 1 << (2 * (18 - 12))
+    assert all((b - a + 1) % span == 0 for a, b in iv)
+
+    # a bbox over open ocean touches zero files and returns empty,
+    # schema intact
+    edf, erep = read_bbox(spark, out, 10.0, 10.1, -150.0, -149.9, cover_zoom=9)
+    assert erep["files_read"] == 0 and edf.count() == 0
+    assert "image_id" in edf.columns
+
+
 # ---------------------------------------------------------------------------
 # product quantization (operators/ann.py: pq_train / pq_encode / pq_search)
 # ---------------------------------------------------------------------------

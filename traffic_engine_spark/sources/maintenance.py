@@ -111,20 +111,18 @@ def compact_table(
     }
 
 
-def cluster_key_file_ranges(out_path: str, key: str = _CLUSTER_KEY) -> list[tuple[int, int]]:
-    """Per-file (min, max) of ``key`` from parquet FOOTER statistics only
-    — the audit a planner runs to prove file-skipping works.  With the
-    range-partitioned rewrite these intervals are pairwise disjoint, so
-    a predicate on the key touches O(selectivity) files, not all of
-    them."""
+def _file_key_ranges(out_path: str, key: str = _CLUSTER_KEY) -> list[tuple[str, int, int]]:
+    """Per-file (path, min, max) of ``key`` from parquet FOOTER statistics
+    only — the manifest-scan substitute a planner uses for file skipping."""
     import pyarrow.parquet as pq
 
-    ranges: list[tuple[int, int]] = []
+    ranges: list[tuple[str, int, int]] = []
     for root, _dirs, names in os.walk(out_path):
         for nme in sorted(names):
             if not nme.endswith(".parquet"):
                 continue
-            md = pq.ParquetFile(os.path.join(root, nme)).metadata
+            full = os.path.join(root, nme)
+            md = pq.ParquetFile(full).metadata
             idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
             if key not in idx:
                 raise KeyError(
@@ -136,5 +134,123 @@ def cluster_key_file_ranges(out_path: str, key: str = _CLUSTER_KEY) -> list[tupl
                 st = md.row_group(rg).column(idx[key]).statistics
                 lo = st.min if lo is None else min(lo, st.min)
                 hi = st.max if hi is None else max(hi, st.max)
-            ranges.append((lo, hi))
+            ranges.append((full, lo, hi))
     return ranges
+
+
+def cluster_key_file_ranges(out_path: str, key: str = _CLUSTER_KEY) -> list[tuple[int, int]]:
+    """Per-file (min, max) of ``key`` from parquet FOOTER statistics only
+    — the audit a planner runs to prove file-skipping works.  With the
+    range-partitioned rewrite these intervals are pairwise disjoint, so
+    a predicate on the key touches O(selectivity) files, not all of
+    them."""
+    return [(lo, hi) for _p, lo, hi in _file_key_ranges(out_path, key)]
+
+
+def bbox_morton_intervals(
+    lat_min: float,
+    lat_max: float,
+    lon_min: float,
+    lon_max: float,
+    cover_zoom: int,
+    zoom: int = Z_ITEM,
+    max_cells: int = 4096,
+) -> list[tuple[int, int]]:
+    """Exact Z-order interval cover of a lat/lon bbox.
+
+    Every slippy quad cell at ``cover_zoom`` is one CONTIGUOUS Morton
+    range at the clustering ``zoom``: the Morton code interleaves bits
+    most-significant first, so the cell's 4^(zoom−cover_zoom) descendant
+    codes share the prefix ``morton(cx, cy) << 2s`` and enumerate every
+    suffix — [base, base + 4^s − 1] with no gaps.  The bbox cover is the
+    tile rectangle spanned by the corner tiles (superset of the bbox —
+    callers re-apply the exact lat/lon predicate), adjacent intervals are
+    merged, and ``max_cells`` guards the driver against a fine
+    ``cover_zoom`` over a continent-sized box (raise → pick it coarser).
+    """
+    import numpy as np
+
+    from ..functions.cells import morton_np, tile_x_np, tile_y_np
+
+    assert cover_zoom <= zoom, (cover_zoom, zoom)
+    n = (1 << cover_zoom) - 1
+    x0 = int(np.clip(tile_x_np(np.array([lon_min]), cover_zoom)[0], 0, n))
+    x1 = int(np.clip(tile_x_np(np.array([lon_max]), cover_zoom)[0], 0, n))
+    # north edge = smaller slippy y
+    y0 = int(np.clip(tile_y_np(np.array([lat_max]), cover_zoom)[0], 0, n))
+    y1 = int(np.clip(tile_y_np(np.array([lat_min]), cover_zoom)[0], 0, n))
+    n_cells = (x1 - x0 + 1) * (y1 - y0 + 1)
+    if n_cells > max_cells:
+        raise ValueError(
+            f"bbox covers {n_cells} z{cover_zoom} cells (> {max_cells}); "
+            "use a coarser cover_zoom"
+        )
+    s = zoom - cover_zoom
+    span = 1 << (2 * s)
+    xs, ys = np.meshgrid(np.arange(x0, x1 + 1), np.arange(y0, y1 + 1))
+    bases = np.sort(morton_np(xs.ravel() << s, ys.ravel() << s))
+    merged: list[tuple[int, int]] = []
+    for b in bases.tolist():
+        if merged and b == merged[-1][1] + 1:
+            merged[-1] = (merged[-1][0], b + span - 1)
+        else:
+            merged.append((b, b + span - 1))
+    return merged
+
+
+def read_bbox(
+    spark: SparkSession,
+    out_path: str,
+    lat_min: float,
+    lat_max: float,
+    lon_min: float,
+    lon_max: float,
+    cover_zoom: int = 9,
+    zoom: int = Z_ITEM,
+    key: str = _CLUSTER_KEY,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> tuple[DataFrame, dict]:
+    """Spatial read over a Morton-clustered table with FILE-LEVEL skipping
+    (the scan-side payoff of ``compact_table(cluster=...)``; Iceberg's
+    metadata-pruned scan on a zorder table).
+
+    Planning is metadata-only: the bbox becomes Z-order intervals
+    (``bbox_morton_intervals``), parquet footer stats give each file's
+    key range, and only intersecting files reach ``spark.read``.  On the
+    clustered layout files own disjoint ranges, so the files read scale
+    with bbox selectivity, not table size — at 10^12 rows this is the
+    difference between opening millions of footers and a handful.  Rows
+    then pass the interval predicate (row-group pruning inside kept
+    files, pushed to the scan) and the EXACT closed-bbox lat/lon filter,
+    so results are identical to a full-scan filter — the pruning is
+    provably a superset (cover cells ⊇ bbox, footer ranges ⊇ file
+    contents).  Returns (df, report) with files_total/files_read."""
+    import functools
+
+    intervals = bbox_morton_intervals(
+        lat_min, lat_max, lon_min, lon_max, cover_zoom, zoom
+    )
+    franges = _file_key_ranges(out_path, key)
+    kept = [
+        p
+        for p, lo, hi in franges
+        if any(a <= hi and lo <= b for a, b in intervals)
+    ]
+    report = {
+        "files_total": len(franges),
+        "files_read": len(kept),
+        "intervals": len(intervals),
+    }
+    exact = (
+        (F.col(lat_col) >= lat_min) & (F.col(lat_col) <= lat_max)
+        & (F.col(lon_col) >= lon_min) & (F.col(lon_col) <= lon_max)
+    )
+    if not kept:
+        return spark.read.parquet(out_path).where(F.lit(False)), report
+    pred = functools.reduce(
+        lambda acc, ab: acc | ((F.col(key) >= ab[0]) & (F.col(key) <= ab[1])),
+        intervals,
+        F.lit(False),
+    )
+    return spark.read.parquet(*kept).where(pred).where(exact), report
