@@ -2242,3 +2242,76 @@ def test_compact_table_fuzz_random_shapes(spark, tmp_path):
                         if r[0] is not None)
         for (lo1, hi1), (lo2, _) in zip(ranges, ranges[1:]):
             assert lo1 <= hi1 < lo2, (seed, ranges)
+
+
+def test_streaming_pixel_store_matches_batch_render(spark, tmp_path):
+    """The live heatmap: streamed points → per-microbatch pixel-count
+    increments MERGE-accumulated into the SnapshotStore; rendering the
+    store state yields PNGs BYTE-identical to the batch render_tiles on
+    the full input (counts are additive; intensities are a read-side
+    view).  A replayed microbatch (same op_id) changes nothing."""
+    from traffic_engine_spark.plans.tiles import (
+        pixel_counts,
+        render_pixel_counts,
+        render_tiles,
+    )
+    from traffic_engine_spark.sources.store import SnapshotStore
+    from traffic_engine_spark.streaming.match_stream import (
+        pixel_counts_to_store_sink,
+    )
+
+    rng = np.random.default_rng(11)
+    pdf = pd.DataFrame(
+        {
+            "lat": 37.70 + rng.uniform(0, 0.05, 600),
+            "lon": -122.20 + rng.uniform(0, 0.05, 600),
+        }
+    )
+    src = str(tmp_path / "pix_src")
+    os.makedirs(src)
+    slices = np.array_split(pdf, 3)
+    for i, part in enumerate(slices):
+        p = os.path.join(src, f"s{i}.parquet")
+        part.to_parquet(p, index=False)
+        os.utime(p, (1_000_000 + i, 1_000_000 + i))
+    store = SnapshotStore(
+        spark, str(tmp_path / "pix_store"),
+        key_cols=["tile_x", "tile_y", "px", "py"],
+    )
+    stream = (
+        spark.readStream.schema("lat double, lon double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(pixel_counts_to_store_sink(store, 15))
+        .option("checkpointLocation", str(tmp_path / "pix_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert len(store.snapshots()) >= 3  # one commit per microbatch
+
+    keys = ["tile_x", "tile_y"]
+    live = (
+        render_pixel_counts(store.read(), 15)
+        .toPandas().sort_values(keys).reset_index(drop=True)
+    )
+    want = (
+        render_tiles(spark.createDataFrame(pdf), 15)
+        .toPandas().sort_values(keys).reset_index(drop=True)
+    )
+    assert len(live) == len(want) >= 2
+    assert all(bytes(a) == bytes(b) for a, b in zip(live.png, want.png))
+    pd.testing.assert_frame_equal(
+        live.drop(columns=["png"]), want.drop(columns=["png"])
+    )
+
+    # at-least-once replay: batch 0 re-delivered under its op_id is a no-op
+    before = store.current_snapshot_id()
+    store.merge_sum(
+        pixel_counts(spark.createDataFrame(slices[0]), 15),
+        ["cnt"],
+        op_id="pixel-counts-z15-0",
+    )
+    assert store.current_snapshot_id() == before

@@ -134,6 +134,19 @@ def render_tiles(
     (``count * 255 // max_count``) so the raster bytes are independent of
     partitioning and row order.
     """
+    return render_pixel_counts(
+        pixel_counts(points, zoom, resolution), zoom, resolution
+    )
+
+
+def pixel_counts(points: DataFrame, zoom: int, resolution: int = 256) -> DataFrame:
+    """Stage 1 of render_tiles: (tile_x, tile_y, px, py, cnt) — one hash
+    agg with map-side combine; the exact-integer pixel addressing is
+    documented on render_tiles.  Factored out so a streaming job can
+    accumulate per-microbatch increments into a SnapshotStore
+    (``streaming.match_stream.pixel_counts_to_store_sink``) — counts are
+    ADDITIVE, which is what makes the raster streamable where the
+    scaled intensities are not."""
     shift = resolution.bit_length() - 1
     assert resolution == 1 << shift, "resolution must be a power of two"
     lat, lon = F.col("lat"), F.col("lon")
@@ -141,7 +154,7 @@ def render_tiles(
     px = tile_x_col(lon, zoom + shift) - F.lit(resolution) * tx
     py = tile_y_col(lat, zoom + shift) - F.lit(resolution) * ty
     n = F.lit(2**zoom).cast("long")
-    pix = (
+    return (
         points.where(
             lat.isNotNull() & lon.isNotNull()
             & (ty >= 0) & (ty < n) & (tx >= 0) & (tx < n)
@@ -150,6 +163,14 @@ def render_tiles(
         .groupBy("tile_x", "tile_y", "px", "py")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+def render_pixel_counts(
+    pix: DataFrame, zoom: int, resolution: int = 256
+) -> DataFrame:
+    """Stage 2 of render_tiles: per-tile applyInPandas grid fill + PNG
+    encode over an already-aggregated (tile_x, tile_y, px, py, cnt)
+    relation — e.g. the live state of a streaming pixel-count store."""
 
     def _fill(pdf: pd.DataFrame) -> pd.DataFrame:
         from ..functions.images import encode_png

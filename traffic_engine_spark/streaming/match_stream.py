@@ -389,6 +389,31 @@ def histograms_to_store_sink(store):
     return sink
 
 
+def pixel_counts_to_store_sink(store, zoom: int, resolution: int = 256):
+    """foreachBatch sink: streamed points → per-microbatch (tile, px, py)
+    count increments → MERGE-accumulate into a SnapshotStore — the live
+    heatmap.  Counts are ADDITIVE (unlike the scaled intensities), so the
+    store state after any prefix of microbatches equals the batch
+    ``plans.tiles.pixel_counts`` over the same prefix, and rendering is a
+    pure read-side view: ``render_pixel_counts(store.read())`` yields
+    PNGs byte-identical to the batch ``render_tiles`` on the full input
+    (test_streaming_pixel_store_matches_batch_render).
+
+    Replay-safe like histograms_to_store_sink: the batch_id rides into
+    the snapshot log as the merge op_id, so an at-least-once re-delivery
+    is skipped, never double-counted."""
+    from ..plans.tiles import pixel_counts
+
+    def sink(batch_df, batch_id):
+        store.merge_sum(
+            pixel_counts(batch_df, zoom, resolution),
+            ["cnt"],
+            op_id=f"pixel-counts-z{zoom}-{batch_id}",
+        )
+
+    return sink
+
+
 def sessionize_stream(
     events: DataFrame,
     key: str = "user_id",
