@@ -271,17 +271,19 @@ def hamming_pairs(
     )
     a = bands.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "band", "bval")
     b = bands.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"), "band", "bval")
-    cand = (
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    # r6 (guide §2.3): verify BEFORE the distinct — the Hamming test is a
+    # row-local codegen predicate on columns the distinct already carried,
+    # so filter∘distinct ≡ distinct∘filter, but the distinct's exchange
+    # now shuffles only the qualifying pairs (≈|output|) instead of every
+    # same-bucket collision (~n²·L/2^band_bits rows at fat buckets)
+    return (
         a.join(b, ["band", "bval"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sig_a", "sig_b")
-        .distinct()
-    )
-    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return (
-        cand.withColumn("hamming", hamming.cast("int"))
+        .withColumn("hamming", hamming.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
+        .distinct()
     )
 
 

@@ -28,6 +28,40 @@ def equirect_dist2(lat_a, lon_a, lat_b, lon_b):
     return dlat * dlat + dlon * dlon
 
 
+def _dedupe_positions(
+    points: DataFrame, point_id: str
+) -> tuple[DataFrame, DataFrame]:
+    """(rep, mapping): one representative row per DISTINCT (lat, lon) —
+    the min-id, so results are deterministic — plus the (lat, lon,
+    point_id) mapping to fan results back out.  Distance, rank and
+    tie-breaks per point are pure functions of the point's POSITION (the
+    tie-break is on the *station* id), so kNN only ever needs to run per
+    distinct position.  On all-unique positions this degrades to two extra
+    cheap aggregations; on repetitive real-world data (grid-snapped GPS,
+    the bench tables' 7000-position cycle) it collapses the quadratic
+    candidate volume by orders of magnitude (guide §8: decide on small
+    rows, attach the decision back)."""
+    rep = points.groupBy("lat", "lon").agg(F.min(point_id).alias(point_id))
+    return rep, points.select(point_id, "lat", "lon")
+
+
+def _prune_stations_topk(
+    stations: DataFrame, k: int, station_id: str
+) -> DataFrame:
+    """Keep only the k smallest station ids per distinct station POSITION:
+    any global top-k by (dist2, station_id) can only contain the k
+    smallest ids of a given position (all rows of one position have equal
+    dist2 from every probe, so a larger id is always outranked by a
+    smaller one of the same position) — a provable superset of every
+    per-probe top-k.  Caps candidate volume per position at k."""
+    w = Window.partitionBy("lat", "lon").orderBy(station_id)
+    return (
+        stations.withColumn("_srn", F.row_number().over(w))
+        .filter(F.col("_srn") <= k)
+        .drop("_srn")
+    )
+
+
 def knn_join_broadcast(
     points: DataFrame,
     stations: DataFrame,
@@ -37,19 +71,36 @@ def knn_join_broadcast(
 ) -> DataFrame:
     """Exact kNN against a small broadcast station set: no shuffle of the
     big side, per-point window rank.  Returns (point_id, rank, station_id,
-    dist2).  For large station sets switch to `knn_join_cells`."""
-    s = stations.select(
+    dist2).  For large station sets switch to `knn_join_cells`.
+
+    r6: both sides are collapsed to DISTINCT positions first (stations
+    additionally pruned to the k smallest ids per position — a provable
+    top-k superset, see `_prune_stations_topk`), the k-NN cross runs on
+    position representatives only, and the result fans back out with one
+    equi-join on (lat, lon).  Output-identical at any data distribution;
+    at sf1.0 this turns a 5·10⁸-pair cross into a 2.5·10⁴-pair one."""
+    rep, mapping = _dedupe_positions(points, point_id)
+    s = _prune_stations_topk(
+        stations.select(
+            F.col(station_id), F.col("lat"), F.col("lon")
+        ),
+        k,
+        station_id,
+    ).select(
         F.col(station_id), F.col("lat").alias("s_lat"), F.col("lon").alias("s_lon")
     )
-    scored = points.join(F.broadcast(s)).withColumn(
+    scored = rep.join(F.broadcast(s)).withColumn(
         "dist2",
         equirect_dist2(F.col("lat"), F.col("lon"), F.col("s_lat"), F.col("s_lon")),
     )
     w = Window.partitionBy(point_id).orderBy(F.col("dist2"), F.col(station_id))
-    return (
+    per_pos = (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select(point_id, "rank", station_id, F.round("dist2", 12).alias("dist2"))
+        .select("lat", "lon", "rank", station_id, F.round("dist2", 12).alias("dist2"))
+    )
+    return mapping.join(per_pos, ["lat", "lon"]).select(
+        point_id, "rank", station_id, "dist2"
     )
 
 
@@ -85,7 +136,21 @@ def knn_join_cells(
     ``exact=True`` is EAGER: the escalation loop runs Spark jobs
     (localCheckpoint + isEmpty per round) at call time.  ``exact=False``
     restores the lazy single-pass ring join (caller asserts coverage).
+
+    r6: like `knn_join_broadcast`, both sides collapse to DISTINCT
+    positions before any candidate generation (stations pruned to the k
+    smallest ids per position — `_prune_stations_topk` proves the top-k
+    superset; the ring/escalation bookkeeping is position-wise identical
+    because per-probe candidate top-k, count and k-th distance are
+    unchanged under the pruning), and the per-position result fans back
+    out with one (lat, lon) equi-join at the end.  Output-identical;
+    kills the density² candidate growth on repetitive positions.
     """
+    rep, mapping = _dedupe_positions(points, point_id)
+    points = rep
+    stations = _prune_stations_topk(
+        stations.select(F.col(station_id), F.col("lat"), F.col("lon")), k, station_id
+    )
     tile_w = 360.0 / (1 << zoom)
     s_base = stations.select(
         F.col(station_id),
@@ -165,8 +230,19 @@ def knn_join_cells(
             .select(point_id, "lat", "lon", "rank", station_id, "dist2")
         )
 
+    def _fan_out(res: DataFrame) -> DataFrame:
+        """Representative-id results → one row per ORIGINAL point via the
+        (lat, lon) mapping (one equi-join; AQE broadcasts the small
+        per-position result when it fits)."""
+        fan = mapping.join(
+            rep.withColumnRenamed(point_id, "_rep"), ["lat", "lon"]
+        ).select(point_id, "_rep")
+        return fan.join(res.withColumnRenamed(point_id, "_rep"), "_rep").select(
+            point_id, "rank", station_id, "dist2"
+        )
+
     if not exact:
-        return _topk(points, ring, explode_points=False).select(*out_cols)
+        return _fan_out(_topk(points, ring, explode_points=False).select(*out_cols))
 
     remaining = points.select(point_id, "lat", "lon")
     out: DataFrame | None = None
@@ -225,7 +301,7 @@ def knn_join_cells(
         if remaining.isEmpty():
             break
         r, first = r * 4, False
-    return out
+    return _fan_out(out)
 
 
 # ---------------------------------------------------------------------------

@@ -239,8 +239,17 @@ FROM ring GROUP BY ea
 )
 def cell_join(spark, sf_dir):
     """J1 — cell equi-join with grid_disk(1) ring expansion; candidate
-    counts per probe point.  The ring explode sits on the probe side, the
-    build side is a plain cell equi-key (broadcastable)."""
+    counts per probe point.
+
+    r6 plan (guide §2.3 "aggregate before you shuffle"): the output only
+    needs the COUNT of build-side rows per probe, and that count is a pure
+    function of the probe's CELL — so aggregate the build side to per-cell
+    counts first, compute the ring sum per DISTINCT probe cell, and join
+    the per-cell result back to probe rows (broadcast: the cell universe
+    is bounded by geometry, not by |events|).  The previous plan exploded
+    probe×9 rows into the join and shipped every matching PAIR into the
+    final groupBy — output-identical, but the shuffle carried |pairs| rows
+    (~quadratic in local density: 50 s at sf1.0) instead of |cells|."""
     p = _points(spark, sf_dir)
     a = p.filter(F.col("event_id") % 2 == 0).select(
         F.col("event_id").alias("ea"),
@@ -248,19 +257,31 @@ def cell_join(spark, sf_dir):
         tile_y_col(F.col("lat"), 16).alias("cy"),
     )
     b = p.filter(F.col("event_id") % 2 == 1).select(
-        F.col("event_id").alias("eb"),
         tile_x_col(F.col("lon"), 16).alias("cx"),
         tile_y_col(F.col("lat"), 16).alias("cy"),
     )
+    b_cnt = b.groupBy("cx", "cy").agg(F.count(F.lit(1)).alias("_nb"))
     offsets = F.array(
         *[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy")) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
     )
-    a_ring = a.withColumn("o", F.explode(offsets)).select(
-        "ea", (F.col("cx") + F.col("o.dx")).alias("cx"), (F.col("cy") + F.col("o.dy")).alias("cy")
+    a_cells = a.select("cx", "cy").distinct()
+    ring = a_cells.withColumn("o", F.explode(offsets)).select(
+        F.col("cx").alias("acx"),
+        F.col("cy").alias("acy"),
+        (F.col("cx") + F.col("o.dx")).alias("cx"),
+        (F.col("cy") + F.col("o.dy")).alias("cy"),
     )
-    joined = a_ring.join(b, ["cx", "cy"])
-    return joined.groupBy(F.col("ea").alias("cell_probe")).agg(
-        F.count(F.lit(1)).alias("n_candidates")
+    cell_counts = (
+        ring.join(b_cnt, ["cx", "cy"])
+        .groupBy(F.col("acx").alias("cx"), F.col("acy").alias("cy"))
+        .agg(F.sum("_nb").alias("n_candidates"))
+    )
+    # no broadcast hint: the cell table is usually tiny (AQE converts to a
+    # broadcast join at runtime), but its cardinality is bounded by the
+    # occupied-cell universe, which a planet-scale corpus can make large —
+    # let AQE pick from the REAL post-agg size instead of pinning it
+    return a.join(cell_counts, ["cx", "cy"]).select(
+        F.col("ea").alias("cell_probe"), "n_candidates"
     )
 
 
