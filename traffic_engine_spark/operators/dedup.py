@@ -269,21 +269,107 @@ def hamming_pairs(
             ])
         ).alias("band", "bval"),
     )
-    a = bands.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "band", "bval")
-    b = bands.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"), "band", "bval")
-    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    # r6 (guide §2.3): verify BEFORE the distinct — the Hamming test is a
-    # row-local codegen predicate on columns the distinct already carried,
-    # so filter∘distinct ≡ distinct∘filter, but the distinct's exchange
-    # now shuffles only the qualifying pairs (≈|output|) instead of every
-    # same-bucket collision (~n²·L/2^band_bits rows at fat buckets)
+    # r6 (guide §2.3/§2.4 + §4.2): the old shape equi-joined the band
+    # tables and streamed EVERY same-bucket collision (272M rows / 17 s of
+    # codegen at sf1.0) through the Hamming verify and a distinct.  The
+    # whole candidate+verify step is bucket-local, so run it INSIDE each
+    # (band, bval) group as vectorised numpy — XOR + 16-bit-table popcount
+    # over the bucket block — and emit each qualifying pair EXACTLY ONCE,
+    # from its first intact band (the pigeonhole guarantee says one
+    # exists), which removes the cross-band distinct entirely.  Output
+    # identical: same pairs, same Hamming values (integer ops).
+    import numpy as np
+    import pandas as pd
+
+    pop16 = np.array([bin(i).count("1") for i in range(1 << 16)], dtype=np.uint8)
+    n_b, b_bits, b_mask, max_h = n_bands, band_bits, np.uint64(mask), max_hamming
+    narrow = bits <= 32  # uint32 XOR matrix + 2 table lookups, not 4
+
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "doc_a": pd.Series(dtype="int64"),
+                "doc_b": pd.Series(dtype="int64"),
+                "hamming": pd.Series(dtype="int32"),
+            }
+        )
+        n = len(pdf)
+        if n < 2:
+            return empty
+        this_band = int(pdf["band"].iloc[0])
+        order = np.argsort(pdf["doc_id"].to_numpy(), kind="stable")
+        ids = pdf["doc_id"].to_numpy()[order]
+        sg64 = pdf["sig"].to_numpy()[order].astype(np.int64).view(np.uint64)
+        sg = sg64.astype(np.uint32) if narrow else sg64
+        one = np.uint32(1) if narrow else np.uint64(1)
+        m16 = np.uint32(0xFFFF) if narrow else np.uint64(0xFFFF)
+        s16 = np.uint32(16) if narrow else np.uint64(16)
+        out_a, out_b, out_h = [], [], []
+        # ~1M-cell blocks: every temporary stays L2-resident — measured 9×
+        # over 16M-cell blocks on this host (allocation/page-fault bound
+        # otherwise)
+        step = max(1, (1 << 20) // max(n, 1))
+        cols = np.arange(n)
+        for i0 in range(0, n, step):
+            i1 = min(i0 + step, n)
+            x = sg[i0:i1, None] ^ sg[None, :]
+            # prescreen: popcount(x) <= max_h  ⟺  clearing the max_h
+            # lowest set bits leaves 0 — a handful of vectorised int ops,
+            # no table gathers; the exact Hamming is looked up only for
+            # the survivors
+            if max_h == 0:
+                y = x
+            else:
+                y = x & (x - one)
+                for _ in range(max_h - 1):
+                    y &= y - one
+            sel = (y == 0) & (cols[None, :] > np.arange(i0, i1)[:, None])
+            r, c = np.nonzero(sel)
+            if not len(r):
+                continue
+            xs = x[r, c]
+            # first intact band of the XOR — emit only from that band
+            fm = np.full(len(r), n_b, dtype=np.int64)
+            for j in range(n_b - 1, -1, -1):
+                fm = np.where(
+                    ((xs >> np.uint64(j * b_bits)) & b_mask) == 0, j, fm
+                )
+            keep = fm == this_band
+            if not keep.any():
+                continue
+            xs = xs[keep]
+            r, c = r[keep], c[keep]
+            ham_sel = pop16[xs & m16].astype(np.int32) + pop16[
+                (xs >> s16) & m16
+            ]
+            if not narrow:
+                ham_sel += pop16[(xs >> np.uint64(32)) & m16]
+                ham_sel += pop16[xs >> np.uint64(48)]
+            out_a.append(ids[r + i0])
+            out_b.append(ids[c])
+            out_h.append(ham_sel.astype(np.int32))
+        if not out_a:
+            return empty
+        return pd.DataFrame(
+            {
+                "doc_a": np.concatenate(out_a),
+                "doc_b": np.concatenate(out_b),
+                "hamming": np.concatenate(out_h),
+            }
+        )
+
+    # explicit repartition on the group key: the band-table shuffle is a
+    # few MB, so AQE's coalescing would pack these COMPUTE-bound groups
+    # into 2-3 partitions (measured: 3 straggler tasks carrying the whole
+    # stage at sf1.0); a user-specified partition count is exempt from
+    # coalescing, and the groupBy reuses the partitioning (no second
+    # exchange).  Scale-adaptive: derived from the session's parallelism,
+    # not a constant.
+    n_part = max(bands.sparkSession.sparkContext.defaultParallelism * 4, 64)
     return (
-        a.join(b, ["band", "bval"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .withColumn("hamming", hamming.cast("int"))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
-        .distinct()
+        bands.repartition(n_part, "band", "bval")
+        .groupBy("band", "bval")
+        .applyInPandas(bucket_pairs, schema="doc_a long, doc_b long, hamming int")
     )
 
 
@@ -664,6 +750,7 @@ def embedding_ivf_pairs(
 def lsh_band_keys(
     emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
     band_planes: int = 4, n_bands: int = 8, dims: int = 64,
+    include_vec: bool = False, include_bvals: bool = False,
 ) -> DataFrame:
     """(id, band, bval): multi-band hyperplane LSH — n_bands independent
     tables of band_planes sign bits each, sliced from one
@@ -708,9 +795,28 @@ def lsh_band_keys(
             ).sum(axis=2)
             ids = np.repeat(pdf["id"].to_numpy(), n_bands)
             bands = np.tile(np.arange(n_bands, dtype=np.int32), len(pdf))
-            yield pd.DataFrame({"id": ids, "band": bands, "bval": bvals.reshape(-1)})
+            out = {"id": ids, "band": bands, "bval": bvals.reshape(-1)}
+            if include_vec:
+                # carry the ORIGINAL vector (untouched float32 values) so
+                # bucket-local verify stages can rescore without a join
+                out["v"] = np.repeat(pdf["v"].to_numpy(), n_bands)
+            if include_bvals:
+                # the vector's FULL band-value array, computed once here —
+                # bucket-local exactly-once emission (first shared band)
+                # reads these instead of re-deriving signatures, so the
+                # membership a row was bucketed under and the membership
+                # the emission rule sees can never diverge
+                out["bvals"] = np.repeat(bvals, n_bands, axis=0).tolist()
+            yield pd.DataFrame(out)
 
-    return src.mapInPandas(run, schema="id long, band int, bval long")
+    schema = "id long, band int, bval long"
+    if include_vec:
+        # element type mirrors the input column exactly (float corpora
+        # stay float — no silent widening/narrowing of the verify values)
+        schema += f", v {emb.schema[vec_col].dataType.simpleString()}"
+    if include_bvals:
+        schema += ", bvals array<bigint>"
+    return src.mapInPandas(run, schema=schema)
 
 
 def embedding_lsh_pairs(
@@ -746,35 +852,95 @@ def embedding_lsh_pairs(
         auto_r, auto_l = lsh_auto_bands(emb.count(), min_cosine)
         band_planes = auto_r if band_planes is None else band_planes
         n_bands = auto_l if n_bands is None else n_bands
-    # the signature projection is expensive (n_bands × band_planes dots):
-    # checkpoint it (lazily) so the self-join doesn't execute it twice
-    bands = lsh_band_keys(emb, id_col, vec_col, band_planes, n_bands, dims).localCheckpoint(
-        eager=False
-    )
-    cand = (
-        bands.alias("a")
-        .join(bands.alias("b"), ["band", "bval"])
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
-    )
-    # norms once per VECTOR (float-identical to per-pair recomputation, 3×
-    # fewer HOF passes over the candidate pairs)
-    from ..functions.vectors import dot, norm
+    # r6 plan: the old shape self-joined the band keys, shuffled EVERY
+    # same-bucket collision (~n²·L/2^planes pair rows at fat buckets, then
+    # a distinct over them), joined vectors back on and paid an
+    # interpreted HOF dot per pair — 98 s at sf1.0 under the pinned 8×4
+    # bands.  Candidates and verify now run INSIDE each (band, bval)
+    # bucket: one BLAS matmul over the bucket block prefilters at
+    # min_cosine − margin (ann._BLAS_MARGIN rationale: the margin is ~7
+    # orders wider than any BLAS-vs-fold summation discrepancy, so no
+    # qualifying pair can be missed), survivors are rescored with the
+    # EXACT JVM fold order (ann._seq_dot), and only qualifying pairs ever
+    # leave the bucket — the distinct dedupes the (bit-identical) copies a
+    # pair emits from each shared band.  Output identical to the
+    # join-based plan; the shuffle now carries ~|output| rows.
+    import numpy as np
+    import pandas as pd
 
-    vdim = emb.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), norm(F.col(vec_col)).alias("nrm")
+    from .ann import _BLAS_MARGIN, _seq_dot, _seq_norm
+
+    bands_v = lsh_band_keys(
+        emb, id_col, vec_col, band_planes, n_bands, dims,
+        include_vec=True, include_bvals=True,
+    )
+    thresh = min_cosine - _BLAS_MARGIN
+
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        n = len(pdf)
+        if n < 2:
+            return empty
+        this_band = int(pdf["band"].iloc[0])
+        order = np.argsort(pdf["id"].to_numpy(), kind="stable")
+        ids = pdf["id"].to_numpy()[order]
+        V = np.stack(pdf["v"].to_numpy()[order]).astype(np.float64)
+        BV = np.stack(pdf["bvals"].to_numpy()[order])  # n × n_bands int64
+        nrm_seq = _seq_norm(V)
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        out_a, out_b, out_cos = [], [], []
+        # ~2M-cell G blocks: keeps the matmul output and the selection
+        # temporaries cache-resident (same measurement as hamming_pairs'
+        # block sizing — large blocks are allocation-bound on this host)
+        step = max(1, (1 << 21) // max(n, 1))
+        for i0 in range(0, n, step):
+            i1 = min(i0 + step, n)
+            G = Vn[i0:i1] @ Vn.T  # (i1-i0) × n
+            # ids ascending ⇒ (row global index < col) is exactly id_a < id_b
+            cols = np.arange(n)[None, :]
+            rows_g = np.arange(i0, i1)[:, None]
+            sel = (G >= thresh) & (cols > rows_g)
+            r, c = np.nonzero(sel)
+            if not len(r):
+                continue
+            r = r + i0
+            # exactly-once emission: keep the pair only in its FIRST
+            # shared band (same rule as hamming_pairs — removes the
+            # cross-band distinct; band values come from lsh_band_keys'
+            # one-time signature computation, so they cannot diverge from
+            # the bucketing)
+            first_shared = np.argmax(BV[r] == BV[c], axis=1)
+            keep = first_shared == this_band
+            r, c = r[keep], c[keep]
+            if not len(r):
+                continue
+            cos = _seq_dot(V[r], V[c]) / (nrm_seq[r] * nrm_seq[c])
+            out_a.append(ids[r])
+            out_b.append(ids[c])
+            out_cos.append(cos)
+        if not out_a:
+            return empty
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "cosine": np.concatenate(out_cos),
+            }
+        )
+
+    # explicit repartition on the group key — same rationale as
+    # hamming_pairs: the band shuffle is tiny in BYTES but the groups are
+    # compute-bound, and AQE coalescing would serialise them onto a
+    # handful of tasks; a user repartition is exempt and the groupBy
+    # reuses its partitioning
+    n_part = max(bands_v.sparkSession.sparkContext.defaultParallelism * 4, 64)
+    emitted = (
+        bands_v.repartition(n_part, "band", "bval")
+        .groupBy("band", "bval")
+        .applyInPandas(bucket_pairs, schema="id_a long, id_b long, cosine double")
     )
     return (
-        cand.join(
-            vdim.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")),
-            "id_a",
-        )
-        .join(
-            vdim.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")),
-            "id_b",
-        )
-        .withColumn("cosine", F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6))
+        emitted.withColumn("cosine", F.round("cosine", 6))
         .filter(F.col("cosine") >= min_cosine)
         .select("id_a", "id_b", "cosine")
     )
