@@ -284,12 +284,17 @@ def hamming_pairs(
     pop16 = np.array([bin(i).count("1") for i in range(1 << 16)], dtype=np.uint8)
     n_b, b_bits, b_mask, max_h = n_bands, band_bits, np.uint64(mask), max_hamming
     narrow = bits <= 32  # uint32 XOR matrix + 2 table lookups, not 4
+    # ids keep their input type (pHash entries use string image ids);
+    # string ids order by UTF-8 bytes, matching Spark's binary comparison
+    id_type = sigs.schema[id_col].dataType.simpleString()
+    str_ids = id_type == "string"
+    id_dtype = "object" if str_ids else "int64"
 
     def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
             {
-                "doc_a": pd.Series(dtype="int64"),
-                "doc_b": pd.Series(dtype="int64"),
+                "doc_a": pd.Series(dtype=id_dtype),
+                "doc_b": pd.Series(dtype=id_dtype),
                 "hamming": pd.Series(dtype="int32"),
             }
         )
@@ -297,8 +302,13 @@ def hamming_pairs(
         if n < 2:
             return empty
         this_band = int(pdf["band"].iloc[0])
-        order = np.argsort(pdf["doc_id"].to_numpy(), kind="stable")
-        ids = pdf["doc_id"].to_numpy()[order]
+        ids_raw = pdf["doc_id"].to_numpy()
+        if str_ids:
+            sort_key = np.array([s.encode("utf-8") for s in ids_raw], dtype=object)
+        else:
+            sort_key = ids_raw
+        order = np.argsort(sort_key, kind="stable")
+        ids = ids_raw[order]
         sg64 = pdf["sig"].to_numpy()[order].astype(np.int64).view(np.uint64)
         sg = sg64.astype(np.uint32) if narrow else sg64
         one = np.uint32(1) if narrow else np.uint64(1)
@@ -369,7 +379,10 @@ def hamming_pairs(
     return (
         bands.repartition(n_part, "band", "bval")
         .groupBy("band", "bval")
-        .applyInPandas(bucket_pairs, schema="doc_a long, doc_b long, hamming int")
+        .applyInPandas(
+            bucket_pairs,
+            schema=f"doc_a {id_type}, doc_b {id_type}, hamming int",
+        )
     )
 
 

@@ -845,7 +845,13 @@ GROUP BY o.o_orderkey, o.o_orderdate
 """,
 )
 def tpch_q3(spark, sf_dir):
-    """Broadcast dim join + agg (shipping priority shape)."""
+    """Broadcast dim join + agg (shipping priority shape).
+
+    r6 (guide §3.1/§3.3): reduce orders by the customer dim FIRST — the
+    date+segment filters leave a few-hundred-k-row (o_orderkey,
+    o_orderdate) side that AQE broadcasts, so lineitem is never shuffled
+    (the old order ran lineitem⋈orders as a sort-merge on o_orderkey
+    before the segment filter could cut it)."""
     c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
@@ -853,9 +859,11 @@ def tpch_q3(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
     )
+    o2 = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "o_orderdate"
+    )
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        li.join(o2, li.l_orderkey == o2.o_orderkey)
         .groupBy("o_orderkey", "o_orderdate")
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue")

@@ -31,6 +31,7 @@ so the operator needs no row-count pass over the data.
 
 from __future__ import annotations
 
+import json
 import math
 import os
 
@@ -38,7 +39,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..config import Z_ITEM
-from ..functions.cells import morton_of_col
+from ..functions.cells import morton_col, tile_x_col, tile_y_col
+
+#: sidecar recording how a table was clustered (underscore prefix: Spark
+#: and Hadoop readers skip it like _SUCCESS).  read_bbox validates its
+#: pruning zoom against this — a zoom mismatch silently breaks the
+#: "pruning is a superset" contract otherwise.
+_CLUSTER_META = "_te_cluster_meta.json"
 
 #: parquet compresses; size output partitions off the on-disk bytes but
 #: leave headroom so one range partition stays one file under
@@ -93,15 +100,36 @@ def compact_table(
         out = df.coalesce(n)
     else:
         lat_col, lon_col = cluster
-        keyed = df.withColumn(
-            _CLUSTER_KEY, morton_of_col(F.col(lat_col), F.col(lon_col), zoom)
+        # clamp tiles into [0, 2^zoom − 1] BEFORE interleaving: rows at or
+        # beyond the slippy domain edge (|lat| > 85.0511, lon == 180.0,
+        # junk coords) otherwise get keys outside the clipped cover
+        # bbox_morton_intervals produces, and read_bbox could prune a row
+        # the exact closed-bbox filter would keep (ADVICE r5)
+        edge = (1 << zoom) - 1
+        tx = F.least(
+            F.greatest(tile_x_col(F.col(lon_col), zoom), F.lit(0)), F.lit(edge)
         )
+        ty = F.least(
+            F.greatest(tile_y_col(F.col(lat_col), zoom), F.lit(0)), F.lit(edge)
+        )
+        keyed = df.withColumn(_CLUSTER_KEY, morton_col(tx, ty))
         out = keyed.repartitionByRange(n, _CLUSTER_KEY).sortWithinPartitions(
             _CLUSTER_KEY
         )
         if not keep_cluster_key:
             out = out.drop(_CLUSTER_KEY)
     out.write.mode("overwrite").parquet(out_path)
+    if cluster is not None:
+        # record the clustering contract for scan-side validation
+        with open(os.path.join(out_path, _CLUSTER_META), "w") as f:
+            json.dump(
+                {
+                    "zoom": zoom,
+                    "key": _CLUSTER_KEY,
+                    "keep_cluster_key": keep_cluster_key,
+                },
+                f,
+            )
     _, files_after = _dir_bytes_files(out_path)
     return {
         "files_before": files_before,
@@ -225,9 +253,33 @@ def read_bbox(
     files, pushed to the scan) and the EXACT closed-bbox lat/lon filter,
     so results are identical to a full-scan filter — the pruning is
     provably a superset (cover cells ⊇ bbox, footer ranges ⊇ file
-    contents).  Returns (df, report) with files_total/files_read."""
+    contents).  Returns (df, report) with files_total/files_read.
+
+    Requires a table compacted with ``compact_table(cluster=...,
+    keep_cluster_key=True)`` — the pruning reads footer stats of the
+    persisted key column.  The pruning ``zoom`` MUST equal the zoom the
+    table was clustered with; both requirements are validated against
+    the sidecar ``compact_table`` writes (a mismatched zoom would make
+    the file-skipping silently drop matching rows)."""
     import functools
 
+    meta_path = os.path.join(out_path, _CLUSTER_META)
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        if meta.get("zoom") != zoom:
+            raise ValueError(
+                f"read_bbox(zoom={zoom}) on a table clustered at "
+                f"zoom={meta.get('zoom')} ({out_path}): pruning would stop "
+                "being a superset of the bbox filter — pass the clustering "
+                "zoom"
+            )
+        if key == _CLUSTER_KEY and not meta.get("keep_cluster_key", False):
+            raise ValueError(
+                f"{out_path} was compacted without keep_cluster_key=True: "
+                "no persisted key column to prune on — re-compact with "
+                "compact_table(cluster=..., keep_cluster_key=True)"
+            )
     intervals = bbox_morton_intervals(
         lat_min, lat_max, lon_min, lon_max, cover_zoom, zoom
     )
