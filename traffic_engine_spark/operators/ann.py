@@ -219,8 +219,12 @@ def lsh_topk(
             {"query_id": qids[J], "neighbor_id": cids[R], "cosine": cos_exact}
         )
 
+    # explicit repartition on the group key (AQE would coalesce the tiny
+    # band shuffle under the compute-bound groups — see dedup.hamming_pairs)
+    union = qb.unionByName(cb)
+    n_part = max(union.sparkSession.sparkContext.defaultParallelism, 16)
     scored = (
-        qb.unionByName(cb)
+        union.repartition(n_part, "band", "bval")
         .groupBy("band", "bval")
         .applyInPandas(bucket_topk, schema="query_id long, neighbor_id long, cosine double")
         .distinct()  # a pair emits identical rows from every shared band

@@ -288,33 +288,15 @@ def hamming_pairs(
     # string ids order by UTF-8 bytes, matching Spark's binary comparison
     id_type = sigs.schema[id_col].dataType.simpleString()
     str_ids = id_type == "string"
-    id_dtype = "object" if str_ids else "int64"
 
-    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {
-                "doc_a": pd.Series(dtype=id_dtype),
-                "doc_b": pd.Series(dtype=id_dtype),
-                "hamming": pd.Series(dtype="int32"),
-            }
-        )
-        n = len(pdf)
-        if n < 2:
-            return empty
-        this_band = int(pdf["band"].iloc[0])
-        ids_raw = pdf["doc_id"].to_numpy()
-        if str_ids:
-            sort_key = np.array([s.encode("utf-8") for s in ids_raw], dtype=object)
-        else:
-            sort_key = ids_raw
-        order = np.argsort(sort_key, kind="stable")
-        ids = ids_raw[order]
-        sg64 = pdf["sig"].to_numpy()[order].astype(np.int64).view(np.uint64)
-        sg = sg64.astype(np.uint32) if narrow else sg64
-        one = np.uint32(1) if narrow else np.uint64(1)
-        m16 = np.uint32(0xFFFF) if narrow else np.uint64(0xFFFF)
-        s16 = np.uint32(16) if narrow else np.uint64(16)
-        out_a, out_b, out_h = [], [], []
+    one = np.uint32(1) if narrow else np.uint64(1)
+    m16 = np.uint32(0xFFFF) if narrow else np.uint64(0xFFFF)
+    s16 = np.uint32(16) if narrow else np.uint64(16)
+
+    def _group_pairs(ids, sg, this_band, out_a, out_b, out_h):
+        """All qualifying pairs of ONE bucket (ids pre-sorted ascending,
+        sg the matching uint signatures); appends to the out_* lists."""
+        n = len(ids)
         # ~1M-cell blocks: every temporary stays L2-resident — measured 9×
         # over 16M-cell blocks on this host (allocation/page-fault bound
         # otherwise)
@@ -349,40 +331,76 @@ def hamming_pairs(
                 continue
             xs = xs[keep]
             r, c = r[keep], c[keep]
-            ham_sel = pop16[xs & m16].astype(np.int32) + pop16[
-                (xs >> s16) & m16
-            ]
+            ham_sel = pop16[xs & m16].astype(np.int32) + pop16[(xs >> s16) & m16]
             if not narrow:
                 ham_sel += pop16[(xs >> np.uint64(32)) & m16]
                 ham_sel += pop16[xs >> np.uint64(48)]
             out_a.append(ids[r + i0])
             out_b.append(ids[c])
             out_h.append(ham_sel.astype(np.int32))
-        if not out_a:
-            return empty
-        return pd.DataFrame(
-            {
-                "doc_a": np.concatenate(out_a),
-                "doc_b": np.concatenate(out_b),
-                "hamming": np.concatenate(out_h),
-            }
-        )
+
+    # ONE Python invocation per PARTITION (mapInPandas), not per group:
+    # groupBy().applyInPandas pays an Arrow batch + pandas DataFrame per
+    # bucket (~1 ms × L·2^band_bits buckets — 1.5 s of pure framing at
+    # sf0.1), the same per-group overhead plans/hmm.py eliminated.  The
+    # kernel sorts its partition by (band, bval) and walks bucket runs in
+    # numpy; the repartition pins all rows of a bucket to one partition.
+    def part_kernel(batches):
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        if len(pdf) < 2:
+            return
+        band = pdf["band"].to_numpy()
+        bval = pdf["bval"].to_numpy()
+        ids_raw = pdf["doc_id"].to_numpy()
+        if str_ids:
+            id_key = np.array([s.encode("utf-8") for s in ids_raw], dtype=object)
+            grp = np.lexsort((bval, band))
+            # stable id order within each group, applied per run below
+        else:
+            id_key = ids_raw
+            grp = np.lexsort((id_key, bval, band))
+        band_s, bval_s = band[grp], bval[grp]
+        runs = np.ones(len(grp), dtype=bool)
+        runs[1:] = (band_s[1:] != band_s[:-1]) | (bval_s[1:] != bval_s[:-1])
+        starts = np.flatnonzero(runs)
+        ends = np.append(starts[1:], len(grp))
+        sg_all = pdf["sig"].to_numpy().astype(np.int64).view(np.uint64)
+        if narrow:
+            sg_all = sg_all.astype(np.uint32)
+        out_a, out_b, out_h = [], [], []
+        for g0, g1 in zip(starts, ends):
+            if g1 - g0 < 2:
+                continue
+            sel = grp[g0:g1]
+            if str_ids:
+                # object keys: sort the run by UTF-8 bytes here
+                sub = np.argsort(id_key[sel], kind="stable")
+                sel = sel[sub]
+            _group_pairs(
+                ids_raw[sel], sg_all[sel], int(band_s[g0]), out_a, out_b, out_h
+            )
+        if out_a:
+            yield pd.DataFrame(
+                {
+                    "doc_a": np.concatenate(out_a),
+                    "doc_b": np.concatenate(out_b),
+                    "hamming": np.concatenate(out_h),
+                }
+            )
 
     # explicit repartition on the group key: the band-table shuffle is a
     # few MB, so AQE's coalescing would pack these COMPUTE-bound groups
     # into 2-3 partitions (measured: 3 straggler tasks carrying the whole
     # stage at sf1.0); a user-specified partition count is exempt from
-    # coalescing, and the groupBy reuses the partitioning (no second
-    # exchange).  Scale-adaptive: derived from the session's parallelism,
-    # not a constant.
-    n_part = max(bands.sparkSession.sparkContext.defaultParallelism * 4, 64)
-    return (
-        bands.repartition(n_part, "band", "bval")
-        .groupBy("band", "bval")
-        .applyInPandas(
-            bucket_pairs,
-            schema=f"doc_a {id_type}, doc_b {id_type}, hamming int",
-        )
+    # coalescing.  Scale-adaptive (session parallelism, not a constant);
+    # exactly one wave of tasks — local-mode Python tasks cost ~12 ms of
+    # framing each, so over-partitioning 4x cost ~1 s at sf0.1.
+    n_part = max(bands.sparkSession.sparkContext.defaultParallelism, 16)
+    return bands.repartition(n_part, "band", "bval").mapInPandas(
+        part_kernel, schema=f"doc_a {id_type}, doc_b {id_type}, hamming int"
     )
 
 
@@ -945,8 +963,9 @@ def embedding_lsh_pairs(
     # hamming_pairs: the band shuffle is tiny in BYTES but the groups are
     # compute-bound, and AQE coalescing would serialise them onto a
     # handful of tasks; a user repartition is exempt and the groupBy
-    # reuses its partitioning
-    n_part = max(bands_v.sparkSession.sparkContext.defaultParallelism * 4, 64)
+    # reuses its partitioning.  One task wave (local Python tasks cost
+    # ~12 ms framing each — hamming_pairs measurement).
+    n_part = max(bands_v.sparkSession.sparkContext.defaultParallelism, 16)
     emitted = (
         bands_v.repartition(n_part, "band", "bval")
         .groupBy("band", "bval")
