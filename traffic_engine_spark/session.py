@@ -44,6 +44,16 @@ def get_spark(
             "spark.sql.execution.arrow.maxRecordsPerBatch",
             os.environ.get("SPARK_ARROW_BATCH", "32768"),
         )
+        # Scan split size: the bench inputs are single ~5-125 MB parquet
+        # files, which the 128 MB default plans as 1-2 splits — scans then
+        # run on 1-2 of the 32 cores (measured: tpch_q1 0.55 s → 0.31 s at
+        # 16m).  Env-parameterised: a production cluster reading TB-scale
+        # tables should set 128m-1g (guide §6) — more splits there only
+        # adds scheduling overhead and map-task count (§2.2).
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
