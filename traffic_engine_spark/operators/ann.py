@@ -173,7 +173,7 @@ def lsh_topk(
     bit-identical to the JVM fold.  The old shape shuffled every
     same-bucket (query, member) collision through a distinct and paid an
     interpreted HOF dot per pair."""
-    import pandas as pd
+    import pyarrow as pa
 
     from ..operators.dedup import lsh_band_keys
 
@@ -184,15 +184,7 @@ def lsh_topk(
         corpus, id_col, vec_col, band_planes, n_bands, dims, include_vec=True
     ).withColumn("is_q", F.lit(0))
 
-    def bucket_topk(pdf: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"query_id": [], "neighbor_id": [], "cosine": []})
-        isq = pdf["is_q"].to_numpy() == 1
-        if not isq.any() or not (~isq).any():
-            return empty
-        qids = pdf["id"].to_numpy()[isq]
-        cids = pdf["id"].to_numpy()[~isq]
-        Q = np.stack(pdf["v"].to_numpy()[isq]).astype(np.float64)
-        C = np.stack(pdf["v"].to_numpy()[~isq]).astype(np.float64)
+    def _bucket_topk(qids, cids, Q, C, out_q, out_c, out_cos):
         qn, cn = _seq_norm(Q), _seq_norm(C)
         cos_b = (C / np.linalg.norm(C, axis=1, keepdims=True)) @ (
             Q / np.linalg.norm(Q, axis=1, keepdims=True)
@@ -213,11 +205,58 @@ def lsh_topk(
         R = np.concatenate(rows_sel)
         J = np.concatenate(cols_sel)
         if not len(R):
-            return empty
-        cos_exact = _seq_dot(C[R], Q[J]) / (qn[J] * cn[R])
-        return pd.DataFrame(
-            {"query_id": qids[J], "neighbor_id": cids[R], "cosine": cos_exact}
-        )
+            return
+        out_q.append(qids[J])
+        out_c.append(cids[R])
+        out_cos.append(_seq_dot(C[R], Q[J]) / (qn[J] * cn[R]))
+
+    # one Arrow kernel per partition, run-length bucket walking; vectors
+    # read from flat Arrow buffers (see dedup.embedding_lsh_pairs)
+    def part_kernel(batches):
+        idl, bandl, bvall, isql, Ml = [], [], [], [], []
+        for b in batches:
+            if not b.num_rows:
+                continue
+            cols = {nm: b.column(i) for i, nm in enumerate(b.schema.names)}
+            idl.append(cols["id"].to_numpy(zero_copy_only=False))
+            bandl.append(cols["band"].to_numpy(zero_copy_only=False))
+            bvall.append(cols["bval"].to_numpy(zero_copy_only=False))
+            isql.append(cols["is_q"].to_numpy(zero_copy_only=False))
+            Ml.append(
+                cols["v"].flatten().to_numpy(zero_copy_only=False).reshape(
+                    b.num_rows, dims
+                )
+            )
+        if not idl:
+            return
+        ids = np.concatenate(idl)
+        band = np.concatenate(bandl)
+        bval = np.concatenate(bvall)
+        isq = np.concatenate(isql) == 1
+        M = np.vstack(Ml).astype(np.float64)
+        grp = np.lexsort((ids, bval, band))
+        band_s, bval_s = band[grp], bval[grp]
+        runs = np.ones(len(grp), dtype=bool)
+        runs[1:] = (band_s[1:] != band_s[:-1]) | (bval_s[1:] != bval_s[:-1])
+        starts = np.flatnonzero(runs)
+        ends = np.append(starts[1:], len(grp))
+        out_q, out_c, out_cos = [], [], []
+        for g0, g1 in zip(starts, ends):
+            sel = grp[g0:g1]
+            q_mask = isq[sel]
+            if not q_mask.any() or q_mask.all():
+                continue
+            qs, cs = sel[q_mask], sel[~q_mask]
+            _bucket_topk(ids[qs], ids[cs], M[qs], M[cs], out_q, out_c, out_cos)
+        if out_q:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(out_q)),
+                    pa.array(np.concatenate(out_c)),
+                    pa.array(np.concatenate(out_cos)),
+                ],
+                ["query_id", "neighbor_id", "cosine"],
+            )
 
     # explicit repartition on the group key (AQE would coalesce the tiny
     # band shuffle under the compute-bound groups — see dedup.hamming_pairs)
@@ -225,8 +264,7 @@ def lsh_topk(
     n_part = max(union.sparkSession.sparkContext.defaultParallelism, 16)
     scored = (
         union.repartition(n_part, "band", "bval")
-        .groupBy("band", "bval")
-        .applyInPandas(bucket_topk, schema="query_id long, neighbor_id long, cosine double")
+        .mapInArrow(part_kernel, schema="query_id long, neighbor_id long, cosine double")
         .distinct()  # a pair emits identical rows from every shared band
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))

@@ -873,9 +873,15 @@ def lsh_band_keys(
     chain; the JVM `hyperplane_bucket` remains the bit-reference (the
     matmul's summation order can differ only when |dot| ~ 1e-12·|terms|,
     verified unreachable on real-valued embeddings: min |dot| on the test
-    corpora is ~1e-2, and test parity is exact)."""
+    corpora is ~1e-2, and test parity is exact).
+
+    r6: runs as ``mapInArrow`` with the replicated vector / band-value
+    arrays built from FLAT numpy buffers (`pa.ListArray.from_arrays`) —
+    the pandas path materialised one Python object per list cell, and at
+    n_bands× replication that object churn alone cost ~2.7 s on the 20k
+    sf1.0 corpus (~10 µs/row) vs ~0.1 s for the buffer build."""
     import numpy as np
-    import pandas as pd
+    import pyarrow as pa
 
     from ..functions.vectors import plane_weight
 
@@ -894,29 +900,46 @@ def lsh_band_keys(
     src = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
 
     def run(batches):
-        for pdf in batches:
-            if not len(pdf):
+        for b in batches:
+            n = b.num_rows
+            if not n:
                 continue
-            M = np.stack(pdf["v"].to_numpy()).astype(np.float64)
-            bits = ((M @ W) > 0).astype(np.int64)  # n × n_planes
+            cols = {nm: b.column(i) for i, nm in enumerate(b.schema.names)}
+            ids = cols["id"].to_numpy(zero_copy_only=False)
+            # flatten() honours list offsets: the result is exactly the
+            # row-major concatenation of the n dims-length vectors, in
+            # the ORIGINAL element dtype (no value change)
+            Mf = cols["v"].flatten().to_numpy(zero_copy_only=False).reshape(n, dims)
+            bits = ((Mf.astype(np.float64) @ W) > 0).astype(np.int64)
             bvals = (
-                bits.reshape(len(pdf), n_bands, band_planes) << band_shifts
+                bits.reshape(n, n_bands, band_planes) << band_shifts
             ).sum(axis=2)
-            ids = np.repeat(pdf["id"].to_numpy(), n_bands)
-            bands = np.tile(np.arange(n_bands, dtype=np.int32), len(pdf))
-            out = {"id": ids, "band": bands, "bval": bvals.reshape(-1)}
+            arrays = [
+                pa.array(np.repeat(ids, n_bands)),
+                pa.array(np.tile(np.arange(n_bands, dtype=np.int32), n)),
+                pa.array(bvals.reshape(-1)),
+            ]
+            names = ["id", "band", "bval"]
             if include_vec:
-                # carry the ORIGINAL vector (untouched float32 values) so
+                # carry the ORIGINAL vector (untouched values/dtype) so
                 # bucket-local verify stages can rescore without a join
-                out["v"] = np.repeat(pdf["v"].to_numpy(), n_bands)
+                vals = pa.array(np.repeat(Mf, n_bands, axis=0).ravel())
+                offs = pa.array(np.arange(n * n_bands + 1, dtype=np.int32) * dims)
+                arrays.append(pa.ListArray.from_arrays(offs, vals))
+                names.append("v")
             if include_bvals:
                 # the vector's FULL band-value array, computed once here —
                 # bucket-local exactly-once emission (first shared band)
                 # reads these instead of re-deriving signatures, so the
                 # membership a row was bucketed under and the membership
                 # the emission rule sees can never diverge
-                out["bvals"] = np.repeat(bvals, n_bands, axis=0).tolist()
-            yield pd.DataFrame(out)
+                bvv = pa.array(np.repeat(bvals, n_bands, axis=0).ravel())
+                offs2 = pa.array(
+                    np.arange(n * n_bands + 1, dtype=np.int32) * n_bands
+                )
+                arrays.append(pa.ListArray.from_arrays(offs2, bvv))
+                names.append("bvals")
+            yield pa.RecordBatch.from_arrays(arrays, names)
 
     schema = "id long, band int, bval long"
     if include_vec:
@@ -925,7 +948,7 @@ def lsh_band_keys(
         schema += f", v {emb.schema[vec_col].dataType.simpleString()}"
     if include_bvals:
         schema += ", bvals array<bigint>"
-    return src.mapInPandas(run, schema=schema)
+    return src.mapInArrow(run, schema=schema)
 
 
 def embedding_lsh_pairs(
@@ -975,7 +998,7 @@ def embedding_lsh_pairs(
     # pair emits from each shared band.  Output identical to the
     # join-based plan; the shuffle now carries ~|output| rows.
     import numpy as np
-    import pandas as pd
+    import pyarrow as pa
 
     from .ann import _BLAS_MARGIN, _seq_dot, _seq_norm
 
@@ -984,20 +1007,13 @@ def embedding_lsh_pairs(
         include_vec=True, include_bvals=True,
     )
     thresh = min_cosine - _BLAS_MARGIN
+    nb = n_bands
 
-    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
-        n = len(pdf)
-        if n < 2:
-            return empty
-        this_band = int(pdf["band"].iloc[0])
-        order = np.argsort(pdf["id"].to_numpy(), kind="stable")
-        ids = pdf["id"].to_numpy()[order]
-        V = np.stack(pdf["v"].to_numpy()[order]).astype(np.float64)
-        BV = np.stack(pdf["bvals"].to_numpy()[order])  # n × n_bands int64
+    def _bucket(ids, V, BV, this_band, out_a, out_b, out_cos):
+        """Qualifying pairs of ONE bucket (ids pre-sorted ascending)."""
+        n = len(ids)
         nrm_seq = _seq_norm(V)
         Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
-        out_a, out_b, out_cos = [], [], []
         # ~2M-cell G blocks: keeps the matmul output and the selection
         # temporaries cache-resident (same measurement as hamming_pairs'
         # block sizing — large blocks are allocation-bound on this host)
@@ -1027,27 +1043,66 @@ def embedding_lsh_pairs(
             out_a.append(ids[r])
             out_b.append(ids[c])
             out_cos.append(cos)
-        if not out_a:
-            return empty
-        return pd.DataFrame(
-            {
-                "id_a": np.concatenate(out_a),
-                "id_b": np.concatenate(out_b),
-                "cosine": np.concatenate(out_cos),
-            }
-        )
+
+    # ONE Arrow kernel per partition with run-length bucket walking (the
+    # hamming_pairs shape): mapInArrow reads the replicated vector and
+    # band-value arrays straight from the flat Arrow buffers — the former
+    # per-group pandas path materialised one Python object per list cell
+    def part_kernel(batches):
+        idl, bandl, bvall, Ml, BVl = [], [], [], [], []
+        for b in batches:
+            if not b.num_rows:
+                continue
+            cols = {nm: b.column(i) for i, nm in enumerate(b.schema.names)}
+            idl.append(cols["id"].to_numpy(zero_copy_only=False))
+            bandl.append(cols["band"].to_numpy(zero_copy_only=False))
+            bvall.append(cols["bval"].to_numpy(zero_copy_only=False))
+            Ml.append(
+                cols["v"].flatten().to_numpy(zero_copy_only=False).reshape(
+                    b.num_rows, dims
+                )
+            )
+            BVl.append(
+                cols["bvals"].flatten().to_numpy(zero_copy_only=False).reshape(
+                    b.num_rows, nb
+                )
+            )
+        if not idl:
+            return
+        ids = np.concatenate(idl)
+        band = np.concatenate(bandl)
+        bval = np.concatenate(bvall)
+        M = np.vstack(Ml).astype(np.float64)
+        BV = np.vstack(BVl)
+        grp = np.lexsort((ids, bval, band))
+        band_s, bval_s = band[grp], bval[grp]
+        runs = np.ones(len(grp), dtype=bool)
+        runs[1:] = (band_s[1:] != band_s[:-1]) | (bval_s[1:] != bval_s[:-1])
+        starts = np.flatnonzero(runs)
+        ends = np.append(starts[1:], len(grp))
+        out_a, out_b, out_cos = [], [], []
+        for g0, g1 in zip(starts, ends):
+            if g1 - g0 < 2:
+                continue
+            sel = grp[g0:g1]  # ids ascending within the run (lexsort)
+            _bucket(ids[sel], M[sel], BV[sel], int(band_s[g0]), out_a, out_b, out_cos)
+        if out_a:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(out_a)),
+                    pa.array(np.concatenate(out_b)),
+                    pa.array(np.concatenate(out_cos)),
+                ],
+                ["id_a", "id_b", "cosine"],
+            )
 
     # explicit repartition on the group key — same rationale as
     # hamming_pairs: the band shuffle is tiny in BYTES but the groups are
     # compute-bound, and AQE coalescing would serialise them onto a
-    # handful of tasks; a user repartition is exempt and the groupBy
-    # reuses its partitioning.  One task wave (local Python tasks cost
-    # ~12 ms framing each — hamming_pairs measurement).
+    # handful of tasks; a user repartition is exempt.  One task wave.
     n_part = max(bands_v.sparkSession.sparkContext.defaultParallelism, 16)
-    emitted = (
-        bands_v.repartition(n_part, "band", "bval")
-        .groupBy("band", "bval")
-        .applyInPandas(bucket_pairs, schema="id_a long, id_b long, cosine double")
+    emitted = bands_v.repartition(n_part, "band", "bval").mapInArrow(
+        part_kernel, schema="id_a long, id_b long, cosine double"
     )
     return (
         emitted.withColumn("cosine", F.round("cosine", 6))
