@@ -175,3 +175,60 @@ def test_signature_kernels_match_definitional_hash(spark):
             for j in range(16)
         ]
         assert list(sigs[row["doc_id"]]) == ref, row["text"]
+
+
+def test_viterbi_batch_matches_per_trace():
+    """The lockstep batch decode must equal the per-trace reference on
+    adversarial shapes: uncovered fixes mid-trace, fully-uncovered
+    traces, single-fix traces, ragged candidate widths, cost ties."""
+    from traffic_engine_spark.functions.viterbi import (
+        viterbi_decode_batch_np,
+        viterbi_decode_np,
+    )
+
+    rng = np.random.RandomState(7)
+    for trial in range(20):
+        n_traces = rng.randint(1, 8)
+        k = rng.randint(1, 5)
+        tf_starts, tf_ends = [], []
+        cf, cs_, ce_, cseg, cd = [], [], [], [], []
+        f = 0
+        for _t in range(n_traces):
+            n_fix_t = rng.randint(1, 9)
+            tf_starts.append(f)
+            for i in range(n_fix_t):
+                # ~25% of fixes uncovered (no candidates)
+                n_cand = 0 if rng.rand() < 0.25 else rng.randint(1, k + 1)
+                segs = np.sort(rng.choice(100, size=n_cand, replace=False))
+                for sgm in segs:
+                    cf.append(f + i)
+                    cseg.append(int(sgm))
+                    cs_.append(int(sgm) % 7)   # few node ids -> adjacency rich
+                    ce_.append(int(sgm) % 5)
+                    # quantised distances -> frequent exact cost ties
+                    cd.append(float(rng.randint(0, 4) * 10.0))
+            f += n_fix_t
+            tf_ends.append(f)
+        n_fix = f
+        args = (
+            np.array(cf, dtype=np.int64),
+            np.array(cseg, dtype=np.int64),
+            np.array(cs_, dtype=np.int64),
+            np.array(ce_, dtype=np.int64),
+            np.array(cd, dtype=np.float64),
+        )
+        bs, bd = viterbi_decode_batch_np(
+            *args, n_fix,
+            np.array(tf_starts, dtype=np.int64),
+            np.array(tf_ends, dtype=np.int64),
+            k,
+        )
+        for a, b in zip(tf_starts, tf_ends):
+            lo = np.searchsorted(args[0], a, side="left")
+            hi = np.searchsorted(args[0], b, side="left")
+            rs, rd = viterbi_decode_np(
+                args[0][lo:hi] - a, args[1][lo:hi], args[2][lo:hi],
+                args[3][lo:hi], args[4][lo:hi], b - a,
+            )
+            np.testing.assert_array_equal(bs[a:b], rs, err_msg=f"trial {trial}")
+            np.testing.assert_array_equal(bd[a:b], rd, err_msg=f"trial {trial}")

@@ -86,7 +86,13 @@ def viterbi_decode_np(
     chosen_seg = np.full(n_fix, -1, dtype=np.int64)
     chosen_dist = np.full(n_fix, -1.0, dtype=np.float64)
     # fix -> candidate slice (candidates must arrive fix-major, and
-    # ascending segment_id within a fix)
+    # ascending segment_id within a fix).
+    # NOTE: this per-trace decode is the REFERENCE (the test oracle calls
+    # it scalar-wise).  The Spark kernel uses `viterbi_decode_batch_np`,
+    # which runs the same recurrence in trace-lockstep — bit-identical by
+    # construction (identical elementwise float ops, first-minimum
+    # argmins, +inf padding that can never be selected) and pinned equal
+    # by test_viterbi_batch_matches_per_trace.
     slices: list[tuple[int, int]] = []
     starts = np.searchsorted(cand_fix, np.arange(n_fix), side="left")
     ends = np.searchsorted(cand_fix, np.arange(n_fix), side="right")
@@ -126,4 +132,119 @@ def viterbi_decode_np(
         chosen_seg[active[k]] = cand_seg[lo + c]
         chosen_dist[active[k]] = cand_dist[lo + c]
         c = int(back[k][c])
+    return chosen_seg, chosen_dist
+
+
+def viterbi_decode_batch_np(
+    cand_fix: np.ndarray,      # int64, candidate -> PARTITION-GLOBAL fix index, fix-major sorted
+    cand_seg: np.ndarray,      # int64 segment_id per candidate
+    cand_start: np.ndarray,    # int64 start_node_id per candidate
+    cand_end: np.ndarray,      # int64 end_node_id per candidate
+    cand_dist: np.ndarray,     # float64 point->segment metres per candidate
+    n_fix: int,
+    trace_starts: np.ndarray,  # int64 first fix index per trace (ascending)
+    trace_ends: np.ndarray,    # int64 one-past-last fix index per trace
+    k: int,
+    sigma_m: float = 25.0,
+    trans_adj: float = 1.0,
+    trans_jump: float = 10.0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """`viterbi_decode_np` for EVERY trace of a partition at once.
+
+    The per-trace decode spends its time in Python overhead: ~10 numpy
+    calls on <=k-by-k arrays per fix (measured 19.5 s single-threaded for
+    8000 bench traces vs ~3 s of actual arithmetic).  This runs the SAME
+    recurrence in trace-lockstep — one vectorised step over all traces'
+    s-th active fix — with bit-identical results:
+
+    * every elementwise float op (emission, prev_cost + trans, cost
+      select) is the same op on the same values in the same order;
+    * candidate matrices are padded to width k with +inf emission and a
+      -2 id sentinel; an inf-cost column can never win an argmin against
+      a real candidate and pads sit AFTER real columns, so every
+      first-minimum argmin resolves exactly as in the ragged version;
+    * fixes with no candidates are skipped by the chain exactly as in
+      the per-trace decode (active fixes of a trace are contiguous rows
+      here, so "previous active fix" is literally row-1).
+
+    Pinned equal to the per-trace reference by
+    test_viterbi_batch_matches_per_trace.  Returns (chosen_seg[n_fix],
+    chosen_dist[n_fix]) with -1 / -1.0 for undecided fixes.
+    """
+    chosen_seg = np.full(n_fix, -1, dtype=np.int64)
+    chosen_dist = np.full(n_fix, -1.0, dtype=np.float64)
+    m = len(cand_fix)
+    if m == 0:
+        return chosen_seg, chosen_dist
+    starts_f = np.searchsorted(cand_fix, np.arange(n_fix), side="left")
+    ends_f = np.searchsorted(cand_fix, np.arange(n_fix), side="right")
+    counts = ends_f - starts_f
+    af = np.flatnonzero(counts > 0)  # active fixes, (trace, step) order
+    if not len(af):
+        return chosen_seg, chosen_dist
+    n_af = len(af)
+    af_trace = np.searchsorted(trace_starts, af, side="right") - 1
+    first_of_trace = np.ones(n_af, dtype=bool)
+    first_of_trace[1:] = af_trace[1:] != af_trace[:-1]
+    trace_row0 = np.maximum.accumulate(
+        np.where(first_of_trace, np.arange(n_af), 0)
+    )
+    af_step = np.arange(n_af) - trace_row0
+
+    kw = int(min(k, counts[af].max()))
+    col = np.arange(kw)
+    idx = np.minimum(starts_f[af][:, None] + col[None, :], m - 1)
+    valid = col[None, :] < counts[af][:, None]
+    segM = np.where(valid, cand_seg[idx], -2)
+    startM = np.where(valid, cand_start[idx], -2)
+    endM = np.where(valid, cand_end[idx], -3)  # -2 != -3: pads never adjacent
+    distM = np.where(valid, cand_dist[idx], 0.0)
+    emisM = np.where(valid, (cand_dist[idx] / sigma_m) ** 2 / 2.0, np.inf)
+
+    cost = np.empty((n_af, kw), dtype=np.float64)
+    back = np.full((n_af, kw), -1, dtype=np.int64)
+    # rows grouped by step (stable: trace order preserved within a step)
+    step_order = np.argsort(af_step, kind="stable")
+    step_sorted = af_step[step_order]
+    step_bounds = np.flatnonzero(
+        np.r_[True, step_sorted[1:] != step_sorted[:-1]]
+    )
+    step_bounds = np.append(step_bounds, n_af)
+    for si in range(len(step_bounds) - 1):
+        rows = step_order[step_bounds[si] : step_bounds[si + 1]]
+        s = int(step_sorted[step_bounds[si]])
+        if s == 0:
+            cost[rows] = emisM[rows]
+            continue
+        prev = rows - 1  # previous active fix of the same trace
+        same = segM[rows][:, :, None] == segM[prev][:, None, :]
+        adj = (
+            (startM[rows][:, :, None] == startM[prev][:, None, :])
+            | (startM[rows][:, :, None] == endM[prev][:, None, :])
+            | (endM[rows][:, :, None] == startM[prev][:, None, :])
+            | (endM[rows][:, :, None] == endM[prev][:, None, :])
+        )
+        trans = np.where(same, 0.0, np.where(adj, trans_adj, trans_jump))
+        total = cost[prev][:, None, :] + trans
+        arg = np.argmin(total, axis=2)
+        cost[rows] = emisM[rows] + np.take_along_axis(
+            total, arg[:, :, None], axis=2
+        )[:, :, 0]
+        back[rows] = arg
+
+    # backtrack: walk each trace's rows last -> first, all traces at once
+    last_rows = np.flatnonzero(
+        np.r_[first_of_trace[1:], True]
+    )  # last af row per trace with >=1 active fix
+    trace_len = last_rows - trace_row0[last_rows] + 1
+    c = np.argmin(cost[last_rows], axis=1)
+    max_len = int(trace_len.max())
+    for o in range(max_len):
+        live = trace_len > o
+        rows_o = last_rows[live] - o
+        cl = c[live]
+        fx = af[rows_o]
+        chosen_seg[fx] = segM[rows_o, cl]
+        chosen_dist[fx] = distM[rows_o, cl]
+        c[live] = back[rows_o, cl]
     return chosen_seg, chosen_dist

@@ -27,7 +27,12 @@ from pyspark.sql import functions as F
 
 from ..config import DEFAULT_CONFIG
 from ..functions.cells import explode_bbox_cover, pack_xy, tile_x_col, tile_y_col
-from ..functions.viterbi import M_PER_DEG, Z_HMM, point_segment_dist_m_np, viterbi_decode_np
+from ..functions.viterbi import (
+    M_PER_DEG,
+    Z_HMM,
+    point_segment_dist_m_np,
+    viterbi_decode_batch_np,
+)
 from .match import memo_rowcount
 
 MATCH_SCHEMA = (
@@ -258,16 +263,15 @@ def viterbi_match(
             cs2, ce2, d2 = cs[sel], ce[sel], d[sel]
             tf_starts = np.flatnonzero(new_trace_fix)
             tf_ends = np.append(tf_starts[1:], n_fix)
-            for a, b in zip(tf_starts, tf_ends):
-                clo = np.searchsorted(cfi2, a, side="left")
-                chi = np.searchsorted(cfi2, b, side="left")
-                if chi == clo:
-                    continue  # trace fully uncovered: stays -1
-                s_, dd = viterbi_decode_np(
-                    cfi2[clo:chi] - a, cseg2[clo:chi], cs2[clo:chi], ce2[clo:chi],
-                    d2[clo:chi], int(b - a), sigma_m, trans_adj, trans_jump,
-                )
-                out_seg[a:b], out_d[a:b] = s_, dd
+            # ONE lockstep decode for every trace in the partition — the
+            # per-trace viterbi_decode_np loop paid ~10 small-array numpy
+            # calls per fix (19.5 s single-threaded at bench scale);
+            # bit-identical by construction and pinned by
+            # test_viterbi_batch_matches_per_trace
+            out_seg, out_d = viterbi_decode_batch_np(
+                cfi2, cseg2, cs2, ce2, d2, n_fix,
+                tf_starts, tf_ends, k, sigma_m, trans_adj, trans_jump,
+            )
         yield pd.DataFrame({
             "trace_id": fix_tid,
             "seq": seq.astype(np.int64),
